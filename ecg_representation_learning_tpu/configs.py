@@ -1,0 +1,141 @@
+"""Frozen configuration dataclasses for models and training.
+
+Replaces the reference's ``EcgVitConfig`` (HF ``PretrainedConfig`` subclass,
+``models/ecg_vit.py:26-92``) and the plain-dict ``get_train_args``
+(``models/train.py:407-436``) with immutable dataclasses that are hashable and
+therefore safe to close over inside ``jax.jit``.
+
+The model size ladder (debug/tiny/small/base/large) reproduces the reference's
+``EcgVitConfig.from_defined`` exactly (ecg_vit.py:66-92).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .registry import PTBXL_N_CLASS
+
+
+@dataclasses.dataclass(frozen=True)
+class VitConfig:
+    """1-D ViT configuration (reference ecg_vit.py:29-53 defaults)."""
+    max_signal_length: int = 2560
+    patch_size: int = 64
+    num_channels: int = 12
+    hidden_size: int = 512
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 8
+    intermediate_size: int = 2048
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    num_class: int = PTBXL_N_CLASS
+    pool: str = 'cls'               # 'cls' | 'mean' (reference uses cls, ecg_vit.py:110)
+    dtype: str = 'float32'          # compute dtype for activations ('bfloat16' on TPU)
+    use_flash_attention: bool = True
+    size: Optional[str] = None      # name from the ladder, if built via from_defined
+
+    @property
+    def num_patches(self) -> int:
+        assert self.max_signal_length % self.patch_size == 0
+        return self.max_signal_length // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_attention_heads == 0
+        return self.hidden_size // self.num_attention_heads
+
+    # the five named sizes of the reference ladder (ecg_vit.py:66-92)
+    _SIZES = {
+        'debug': dict(hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+                      intermediate_size=256),
+        'tiny': dict(hidden_size=256, num_hidden_layers=4, num_attention_heads=4,
+                     intermediate_size=1024),
+        'small': dict(hidden_size=512, num_hidden_layers=8, num_attention_heads=8,
+                      intermediate_size=2048),
+        'base': dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+                     intermediate_size=3072),
+        'large': dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+                      intermediate_size=4096),
+    }
+
+    @classmethod
+    def from_defined(cls, model_name: str, **overrides) -> 'VitConfig':
+        """Build a config from a ladder name like ``'ecg-vit-base'`` or ``'base'``."""
+        size = model_name.split('-')[-1]
+        if size not in cls._SIZES:
+            raise ValueError(
+                f'Unknown model size {size!r}; expected one of {sorted(cls._SIZES)}')
+        return cls(size=size, **{**cls._SIZES[size], **overrides})
+
+    @property
+    def meta(self) -> dict:
+        """Human-readable summary (mirrors the reference ``EcgVit.meta``, ecg_vit.py:124-127)."""
+        return {
+            'name': 'EcgVit',
+            'input shape': f'{self.num_channels} x {self.max_signal_length}',
+            '#patch': self.num_patches,
+            '#layer': self.num_hidden_layers,
+            '#head': self.num_attention_heads,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class MaeConfig:
+    """MAE-style masked-patch pretraining head (north-star addition; the reference
+    names self-supervision as the goal -- dataset.py:2-5 -- but never implements it).
+    """
+    mask_ratio: float = 0.75
+    decoder_hidden_size: int = 256
+    decoder_num_layers: int = 2
+    decoder_num_heads: int = 4
+    decoder_intermediate_size: int = 1024
+    norm_patch_targets: bool = True  # normalize each target patch to zero-mean/unit-var
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (defaults from reference models/train.py:407-427)."""
+    num_train_epoch: int = 3
+    train_batch_size: int = 64
+    eval_batch_size: int = 64
+    do_eval: bool = True
+    optimizer: str = 'AdamW'            # 'AdamW' | 'Adam'
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-2
+    warmup_ratio: float = 0.05
+    schedule: str = 'cosine'            # 'cosine' | 'constant'
+    grad_clip_norm: float = 1.0         # reference train.py:281
+    n_sample: Optional[int] = None
+    augment_timeout: bool = False
+    patience: int = 8
+    precision: str = 'bf16'             # compute precision: 'bf16' | 'fp32'
+    log_per_epoch: bool = False
+    log_to_console: bool = True
+    save_every_n_epoch: int = 0         # 0 = only save at the end
+    seed: int = 77                      # reference config.json 'random-seed'
+    # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
+    mesh_data: int = 1                  # data-parallel axis size
+    mesh_model: int = 1                 # model (TP/FSDP) axis size
+
+    def steps_per_epoch(self, n_train: int) -> int:
+        # ceil, fixing the reference's floor-div-inside-ceil quirk (train.py:433)
+        return -(-n_train // self.train_batch_size)
+
+    def total_steps(self, n_train: int) -> int:
+        return self.steps_per_epoch(n_train) * self.num_train_epoch
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Fused preprocessing pipeline settings (reference Zheng chain constants in
+    config.json ``pre_processing.zheng``; see ops/ for the kernels)."""
+    source_fqs: int = 500
+    target_fqs: int = 250
+    lowpass_passband: float = 50.0
+    lowpass_stopband: float = 60.0
+    lowpass_ripple_db: float = 1.0
+    lowpass_attenuation_db: float = 2.5
+    loess_window: Optional[int] = None   # default: = source fqs (data_preprocessor.py:44)
+    nlm_smooth_factor: float = 1.5
+    nlm_patch_halfwidth: int = 10
+    nlm_search_width: Optional[int] = None  # None = full signal (data_preprocessor.py:98-99)
