@@ -1,0 +1,218 @@
+"""1-D Vision Transformer for 12-lead ECG, in flax.linen.
+
+Capability parity with the reference ``EcgVit`` (models/ecg_vit.py:95-149,
+which wraps ``vit_pytorch.ViT`` with image_size=(1, L), patch_size=(1, 64),
+cls pooling): patch embedding over (12 x 64)-sample patches, learned position
+embeddings, cls token, pre-norm transformer blocks, BCE-with-logits multi-label
+head with optional per-label loss weighting (ecg_vit.py:144-148), and the
+debug/tiny/small/base/large ladder via ``VitConfig.from_defined``.
+
+TPU-native choices: bfloat16 activations with float32 LayerNorm/softmax/loss,
+the blockwise Pallas attention kernel (ops/attention.py) on the
+dropout-inactive path, static shapes throughout, and an optional
+``return_attention`` forward for the attention-rollout visualizer
+(utils/rollout.py; reference ecg_vit.py:164-265 uses a Recorder hook instead).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import VitConfig
+from ..ops.attention import attention
+
+
+def _dtype(cfg: VitConfig):
+    return jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
+
+
+class PatchEmbed1D(nn.Module):
+    """(B, C, L) -> (B, n_patch, hidden): reshape into (C*patch)-dim patch
+    vectors, then LayerNorm -> Dense -> LayerNorm (vit-pytorch to_patch_embedding)."""
+    cfg: VitConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b, c, length = x.shape
+        assert c == cfg.num_channels, (c, cfg.num_channels)
+        assert length % cfg.patch_size == 0, (length, cfg.patch_size)
+        n_patch = length // cfg.patch_size
+        # (B, C, P, patch) -> (B, P, C*patch); lead-major within a patch vector
+        patches = x.reshape(b, c, n_patch, cfg.patch_size)
+        patches = patches.transpose(0, 2, 1, 3).reshape(b, n_patch, c * cfg.patch_size)
+        patches = nn.LayerNorm(dtype=jnp.float32, name='pre_norm')(patches)
+        h = nn.Dense(cfg.hidden_size, dtype=_dtype(cfg), name='proj')(patches)
+        return nn.LayerNorm(dtype=jnp.float32, name='post_norm')(h)
+
+
+class SelfAttention(nn.Module):
+    cfg: VitConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool, return_probs: bool = False):
+        cfg = self.cfg
+        b, t, _ = x.shape
+        dt = _dtype(cfg)
+        qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, dtype=dt, name='qkv')(x)
+        qkv = qkv.reshape(b, t, 3, cfg.num_attention_heads, cfg.head_dim)
+        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]  # (B,H,T,D)
+
+        probs = None
+        if return_probs:
+            scale = 1.0 / np.sqrt(cfg.head_dim)
+            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
+        else:
+            rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
+                   else self.make_rng('dropout'))
+            out = attention(
+                q, k, v,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic, dropout_rng=rng,
+                use_flash=cfg.use_flash_attention)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out, probs
+
+
+class Mlp(nn.Module):
+    cfg: VitConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        h = nn.Dense(cfg.intermediate_size, dtype=dt, name='fc1')(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.hidden_size, dtype=dt, name='fc2')(h)
+        return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    cfg: VitConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool, return_probs: bool = False):
+        attn_out, probs = SelfAttention(self.cfg, name='attn')(
+            nn.LayerNorm(dtype=jnp.float32, name='norm1')(x),
+            deterministic, return_probs)
+        x = x + attn_out
+        x = x + Mlp(self.cfg, name='mlp')(
+            nn.LayerNorm(dtype=jnp.float32, name='norm2')(x), deterministic)
+        return x, probs
+
+
+class EcgVitEncoder(nn.Module):
+    """Patch embed + cls token + pos emb + transformer stack + final norm.
+
+    Shared by the supervised classifier and the MAE pretrainer.
+    """
+    cfg: VitConfig
+    with_cls_token: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+        cfg = self.cfg
+        h = PatchEmbed1D(cfg, name='patch_embed')(x)
+        b, n_patch, _ = h.shape
+        n_tok = n_patch + (1 if self.with_cls_token else 0)
+        if self.with_cls_token:
+            cls = self.param('cls_token', nn.initializers.normal(0.02),
+                             (1, 1, cfg.hidden_size))
+            h = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(h.dtype), h],
+                                axis=1)
+        pos = self.param('pos_embed', nn.initializers.normal(0.02),
+                         (1, cfg.max_signal_length // cfg.patch_size
+                          + (1 if self.with_cls_token else 0), cfg.hidden_size))
+        h = h + pos[:, :n_tok].astype(h.dtype)
+        # reference: emb_dropout = attention_probs_dropout_prob (ecg_vit.py:114)
+        h = nn.Dropout(cfg.attention_probs_dropout_prob)(h, deterministic=deterministic)
+
+        attn_maps = []
+        for i in range(cfg.num_hidden_layers):
+            h, probs = Block(cfg, name=f'block_{i}')(h, deterministic, return_attention)
+            if return_attention:
+                attn_maps.append(probs)
+        h = nn.LayerNorm(dtype=jnp.float32, name='final_norm')(h)
+        if return_attention:
+            return h, jnp.stack(attn_maps, axis=0)  # (L, B, H, T, T)
+        return h
+
+
+@dataclasses.dataclass
+class VitOutput:
+    """Mirrors the reference ``ModelOutput(loss, logits)`` (util/models.py:3)."""
+    logits: jnp.ndarray
+    loss: Optional[jnp.ndarray] = None
+    attention: Optional[jnp.ndarray] = None
+
+
+class EcgVit(nn.Module):
+    """Supervised multi-label classifier (reference EcgVit, ecg_vit.py:95-149)."""
+    cfg: VitConfig
+
+    @nn.compact
+    def __call__(self, sample_values, labels=None, deterministic: bool = True,
+                 loss_reduction: str = 'mean', loss_weight=None,
+                 return_attention: bool = False) -> VitOutput:
+        cfg = self.cfg
+        enc = EcgVitEncoder(cfg, with_cls_token=True, name='encoder')
+        if return_attention:
+            h, attn = enc(sample_values, deterministic, return_attention=True)
+        else:
+            h, attn = enc(sample_values, deterministic), None
+        pooled = h[:, 0] if cfg.pool == 'cls' else h.mean(axis=1)
+        logits = nn.Dense(cfg.num_class, dtype=jnp.float32, name='head')(
+            pooled.astype(jnp.float32))
+
+        loss = None
+        if labels is not None:
+            loss = bce_with_logits(logits, labels, reduction=loss_reduction,
+                                   weight=loss_weight)
+        return VitOutput(logits=logits, loss=loss, attention=attn)
+
+
+def bce_with_logits(logits, labels, reduction: str = 'mean', weight=None):
+    """BCEWithLogitsLoss (reference ecg_vit.py:118, 140-149).
+
+    ``weight``: optional length-2 array (w_neg, w_pos) applied per element by
+    label value, matching the reference's ``weight[labels.long()]`` mapping.
+    ``reduction``: 'mean' | 'none' -- 'none' averages per sample over classes
+    (the evaluator's per-sample loss path, train.py:355).
+    """
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    # numerically stable: max(x,0) - x*y + log1p(exp(-|x|))
+    per_elem = (jnp.maximum(logits, 0.0) - logits * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)
+        per_elem = per_elem * w[labels.astype(jnp.int32)]
+    if reduction == 'mean':
+        return per_elem.mean()
+    if reduction == 'none':
+        return per_elem.mean(axis=-1)
+    raise ValueError(f'Unknown reduction {reduction!r}')
+
+
+def create_vit(cfg: VitConfig, rng: jax.Array, signal_length: Optional[int] = None):
+    """Initialize an EcgVit and its params.  Returns (module, params)."""
+    model = EcgVit(cfg)
+    length = signal_length or cfg.max_signal_length
+    dummy = jnp.zeros((1, cfg.num_channels, length), jnp.float32)
+    params = model.init({'params': rng}, dummy)
+    return model, params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

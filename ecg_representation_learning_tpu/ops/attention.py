@@ -1,0 +1,194 @@
+"""Blockwise (flash-style) multi-head attention as a Pallas TPU kernel.
+
+The reference's attention lives inside the ``vit-pytorch`` dependency
+(ecg_vit.py:116); here it is a first-class kernel.  ECG sequences are tiny
+(40 patches + cls = 41 tokens, SURVEY.md §2.3), so a single block covers the
+whole sequence today -- but the kernel is written blockwise with online
+softmax so long-record pretraining (full INCART/MIMIC strips) is a config
+change, not a rewrite.
+
+Design:
+  * grid = (batch*heads, q_blocks, k_blocks); the k dimension is sequential
+    ("arbitrary") with running (max, sum, acc) scratch in VMEM -- the standard
+    online-softmax recursion; output written on the last k step.
+  * logical head_dim is zero-padded to the 128-lane tile; padded K positions
+    are masked to -inf before the softmax, padded V columns produce zeros that
+    are sliced off.
+  * backward: custom VJP that recomputes attention probabilities from the
+    saved (out, logsumexp) residuals with plain XLA einsums -- exact, and at
+    ECG sizes the O(T^2) recompute is negligible; a fully-blocked backward
+    kernel is the long-sequence extension point.
+  * attention-probability dropout (reference trains with p=0.1,
+    ecg_vit.py:113) is applied by the caller on the XLA path; the kernel path
+    is used when dropout is off (eval / deterministic) -- see models/vit.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_reference(q, k, v, scale, mask_len=None):
+    """Plain XLA attention (B, H, T, D) -- the fallback/dropout path and the
+    golden for kernel tests."""
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, v.dtype.type(scale) * k,
+                        preferred_element_type=jnp.float32)
+    if mask_len is not None:
+        kpos = jnp.arange(q.shape[2])
+        logits = jnp.where(kpos[None, None, None, :] < mask_len, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, seq_len: int, block_k: int):
+    """One (bh, iq, ik) grid step of the online-softmax recursion."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]            # (block_q, D)
+    k = k_ref[0]            # (block_k, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (block_q, block_k)
+
+    # mask padded key positions (T padded up to a block multiple)
+    kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kpos < seq_len, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]                                # (block_q, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                               # (block_q, block_k)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0, ...] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k', 'interpret'))
+def _flash_forward(q, k, v, scale: float, block_q: int, block_k: int,
+                   interpret: bool = False):
+    b, h, t, d = q.shape
+    tq = -(-t // block_q) * block_q
+    tk = -(-t // block_k) * block_k
+    dp = max(128, -(-d // 128) * 128)
+    qp = _pad_to(_pad_to(q, tq, 2), dp, 3).reshape(b * h, tq, dp)
+    kp = _pad_to(_pad_to(k, tk, 2), dp, 3).reshape(b * h, tk, dp)
+    vp = _pad_to(_pad_to(v, tk, 2), dp, 3).reshape(b * h, tk, dp)
+
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=t, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, dp), q.dtype),
+        grid=(b * h, tq // block_q, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, dp), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, tq, dp)[:, :, :t, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q, k, v, scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False):
+    """Multi-head attention, (B, H, T, D) -> (B, H, T, D).
+
+    ``scale`` defaults to 1/sqrt(D).  Forward runs the Pallas kernel; backward
+    recomputes probabilities in XLA (exact at ECG sequence lengths).
+    """
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    # recompute probabilities exactly (softmax is shift-invariant)
+    s = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum('bhqk,bhqd->bhkd', p, g32)
+    dp = jnp.einsum('bhqd,bhkd->bhqk', g32, v32)
+    # softmax backward: ds = p * (dp - sum_k p*dp)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum('bhqk,bhkd->bhqd', ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum('bhqk,bhqd->bhkd', ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
+              dropout_rng=None, use_flash: bool = True, interpret: bool = False):
+    """Dispatch: Pallas kernel when dropout is inactive, XLA path otherwise
+    (the reference applies dropout to attention probabilities, vit-pytorch
+    semantics via ecg_vit.py:113)."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    if use_flash and (deterministic or dropout_rate == 0.0):
+        return flash_attention(q, k, v, None, 128, 128, interpret)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
