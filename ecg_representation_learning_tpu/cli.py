@@ -1,0 +1,229 @@
+"""Command-line interface.
+
+The reference has no CLI at all -- every entry point is an ``if __name__``
+block or a notebook (SURVEY.md §1).  This CLI covers the full workflow:
+
+    python -m ecg_representation_learning_tpu.cli export   --dataset PTB-XL --data-root ... --out ...
+    python -m ecg_representation_learning_tpu.cli denoise  --input PTB-XL-combined.hdf5
+    python -m ecg_representation_learning_tpu.cli train    --size base --epochs 32 ...
+    python -m ecg_representation_learning_tpu.cli pretrain --size base --mask-ratio 0.75 ...
+    python -m ecg_representation_learning_tpu.cli evaluate --checkpoint ckpt-final ...
+    python -m ecg_representation_learning_tpu.cli tokenize --k 8 --clusters 256 ...
+    python -m ecg_representation_learning_tpu.cli synth    --n 512 --out data/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common_train_flags(p):
+    p.add_argument('--size', default='base',
+                   choices=['debug', 'tiny', 'small', 'base', 'large'])
+    p.add_argument('--epochs', type=int, default=3)
+    p.add_argument('--batch-size', type=int, default=64)
+    p.add_argument('--lr', type=float, default=3e-4)
+    p.add_argument('--weight-decay', type=float, default=1e-2)
+    p.add_argument('--schedule', default='cosine', choices=['cosine', 'constant'])
+    p.add_argument('--warmup-ratio', type=float, default=0.05)
+    p.add_argument('--patience', type=int, default=8)
+    p.add_argument('--timeout-augment', action='store_true')
+    p.add_argument('--mesh-model', type=int, default=1,
+                   help='tensor-parallel axis size (data axis = n_devices / this)')
+    p.add_argument('--seed', type=int, default=77)
+    p.add_argument('--output-dir', default=None)
+    p.add_argument('--n-sample', type=int, default=None)
+    p.add_argument('--bf16', action='store_true', default=True)
+
+
+def _load_splits(args):
+    from .data import load_ptbxl_from_export, get_ptbxl_splits, synth_ptbxl
+    if args.hdf5 and args.labels_csv:
+        return load_ptbxl_from_export(args.hdf5, args.labels_csv, args.n_sample)
+    # fallback: synthetic corpus (documented; real corpora need the export step)
+    print('[cli] no --hdf5/--labels-csv given; using a synthetic PTB-XL-shaped corpus',
+          file=sys.stderr)
+    signals, labels, folds = synth_ptbxl(n=args.synth_n)
+    return get_ptbxl_splits(signals, labels, folds, args.n_sample)
+
+
+def cmd_export(args):
+    from .data.export import export_combined, export_records_csv
+    from .registry import EXPORT_DATASETS
+    keys = [args.dataset] if args.dataset else list(EXPORT_DATASETS)
+    for key in keys:
+        export_combined(key, args.data_root, args.out)
+    export_records_csv(keys, args.data_root, os.path.join(args.out, 'records.csv'))
+
+
+def cmd_denoise(args):
+    from .configs import PreprocessConfig
+    from .data.export import export_denoised
+    cfg = PreprocessConfig(nlm_search_width=args.nlm_search_width)
+    out = export_denoised(args.input, args.out, cfg=cfg, batch=args.batch,
+                          resume=not args.no_resume)
+    print(out)
+
+
+def cmd_train(args):
+    from .configs import TrainConfig, VitConfig
+    from .registry import PTBXL_TRAIN_STATS
+    from .train import Trainer
+    splits = _load_splits(args)
+    model_cfg = VitConfig.from_defined(args.size,
+                                       dtype='bfloat16' if args.bf16 else 'float32')
+    cfg = TrainConfig(
+        num_train_epoch=args.epochs, train_batch_size=args.batch_size,
+        eval_batch_size=args.batch_size, learning_rate=args.lr,
+        weight_decay=args.weight_decay, schedule=args.schedule,
+        warmup_ratio=args.warmup_ratio, patience=args.patience,
+        augment_timeout=args.timeout_augment, mesh_model=args.mesh_model,
+        seed=args.seed, n_sample=args.n_sample)
+    stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
+    tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
+                 norm_stats=stats, output_dir=args.output_dir)
+    if args.resume_from:
+        tr.load_checkpoint(args.resume_from)
+    result = tr.train()
+    test_metrics = tr.evaluate(splits.test)
+    print(json.dumps({'best_eval_loss': result['best_eval_loss'],
+                      'test_macro_auc': test_metrics['macro_auc'],
+                      'epochs': result['epochs']}))
+
+
+def cmd_pretrain(args):
+    from .configs import MaeConfig, TrainConfig, VitConfig
+    from .train.pretrain import MaeTrainer
+    splits = _load_splits(args)
+    model_cfg = VitConfig.from_defined(args.size,
+                                       dtype='bfloat16' if args.bf16 else 'float32')
+    mae_cfg = MaeConfig(mask_ratio=args.mask_ratio)
+    cfg = TrainConfig(
+        num_train_epoch=args.epochs, train_batch_size=args.batch_size,
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        schedule=args.schedule, warmup_ratio=args.warmup_ratio,
+        mesh_model=args.mesh_model, seed=args.seed)
+    tr = MaeTrainer(model_cfg, mae_cfg, cfg, train_data=splits.train,
+                    output_dir=args.output_dir or 'runs/mae')
+    result = tr.train()
+    print(json.dumps({'pretrain_loss': result['loss'],
+                      'checkpoint': result['checkpoint']}))
+
+
+def cmd_evaluate(args):
+    from .configs import TrainConfig, VitConfig
+    from .registry import PTBXL_TRAIN_STATS
+    from .train import Trainer
+    from .train.evaluate import evaluate_trained
+    splits = _load_splits(args)
+    model_cfg = VitConfig.from_defined(args.size)
+    tr = Trainer(model_cfg, TrainConfig(), train_data=None, eval_data=splits.eval,
+                 norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
+    tr.init_state()
+    if args.checkpoint:
+        tr.load_checkpoint(args.checkpoint)
+    results = evaluate_trained(tr, {'eval': splits.eval, 'test': splits.test},
+                               out_dir=args.out)
+    print(json.dumps({k: v.get('macro_auc') for k, v in results.items()
+                      if isinstance(v, dict)}))
+
+
+def cmd_tokenize(args):
+    import numpy as np
+    from .models.tokenizer import EcgTokenizer
+    if args.hdf5:
+        from .data import EcgDataset
+        sigs = EcgDataset(args.hdf5).load()
+    else:
+        from .data import synth_ptbxl
+        sigs, _, _ = synth_ptbxl(n=args.synth_n)
+    tok = EcgTokenizer(k=args.k, pad=args.pad).fit(
+        sigs, n_clusters=args.clusters, n_iter=args.iters, seed=args.seed)
+    path = tok.save(args.out)
+    rf = tok.rank_frequency()
+    print(json.dumps({'tokenizer': path, 'n_clusters': int(tok.centers.shape[0]),
+                      'power_law_exponent': rf['exponent']}))
+
+
+def cmd_synth(args):
+    from .data import synth_ptbxl, write_combined_hdf5
+    import pandas as pd
+    signals, labels, folds = synth_ptbxl(n=args.n, seed=args.seed)
+    h5 = write_combined_hdf5(os.path.join(args.out, 'PTB-XL-combined.hdf5'), signals)
+    df = pd.DataFrame({'strat_fold': folds, 'labels': [str(l) for l in labels]})
+    csv = os.path.join(args.out, 'ptb-xl-labels.csv')
+    df.to_csv(csv, index=False)
+    print(json.dumps({'hdf5': h5, 'labels_csv': csv, 'n': args.n}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='ecg-tpu')
+    p.add_argument('--platform', default=None, choices=['cpu', 'tpu', 'axon'],
+                   help='force a JAX backend (overrides site config)')
+    p.add_argument('--host-devices', type=int, default=None,
+                   help='virtual CPU device count (for multi-chip dry runs)')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    pe = sub.add_parser('export', help='raw corpora -> unified 250 Hz HDF5')
+    pe.add_argument('--dataset', default=None)
+    pe.add_argument('--data-root', required=True)
+    pe.add_argument('--out', required=True)
+    pe.set_defaults(fn=cmd_export)
+
+    pd_ = sub.add_parser('denoise', help='combined HDF5 -> denoised HDF5')
+    pd_.add_argument('--input', required=True)
+    pd_.add_argument('--out', default=None)
+    pd_.add_argument('--batch', type=int, default=64)
+    pd_.add_argument('--nlm-search-width', type=int, default=None)
+    pd_.add_argument('--no-resume', action='store_true')
+    pd_.set_defaults(fn=cmd_denoise)
+
+    for name, fn in (('train', cmd_train), ('pretrain', cmd_pretrain),
+                     ('evaluate', cmd_evaluate)):
+        sp = sub.add_parser(name)
+        _add_common_train_flags(sp)
+        sp.add_argument('--hdf5', default=None)
+        sp.add_argument('--labels-csv', default=None)
+        sp.add_argument('--synth-n', type=int, default=512)
+        sp.add_argument('--stats', default=None, choices=[None, 'original', 'denoised'])
+        if name == 'train':
+            sp.add_argument('--resume-from', default=None)
+        if name == 'pretrain':
+            sp.add_argument('--mask-ratio', type=float, default=0.75)
+        if name == 'evaluate':
+            sp.add_argument('--checkpoint', default=None)
+            sp.add_argument('--out', default='eval')
+        sp.set_defaults(fn=fn)
+
+    pt = sub.add_parser('tokenize')
+    pt.add_argument('--hdf5', default=None)
+    pt.add_argument('--synth-n', type=int, default=128)
+    pt.add_argument('--k', type=int, default=8)
+    pt.add_argument('--pad', default='shift', choices=['zero', 'shift'])
+    pt.add_argument('--clusters', type=int, default=256)
+    pt.add_argument('--iters', type=int, default=64)
+    pt.add_argument('--seed', type=int, default=77)
+    pt.add_argument('--out', default='tokenizer.pickle')
+    pt.set_defaults(fn=cmd_tokenize)
+
+    ps = sub.add_parser('synth', help='write a synthetic PTB-XL-shaped corpus')
+    ps.add_argument('--n', type=int, default=512)
+    ps.add_argument('--seed', type=int, default=77)
+    ps.add_argument('--out', default='data')
+    ps.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    if args.host_devices:
+        flags = os.environ.get('XLA_FLAGS', '')
+        os.environ['XLA_FLAGS'] = \
+            f'{flags} --xla_force_host_platform_device_count={args.host_devices}'.strip()
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,18 @@
+"""Data layer: corpus ingest/export, datasets, splits, input pipeline."""
+from .datasets import (
+    EcgDataset, PtbxlSplits, get_ptbxl_splits, labels_to_multi_hot,
+    load_ptbxl_from_export, parse_scp_codes, split_by_strat_fold, synth_ecg,
+    synth_ptbxl, write_combined_hdf5,
+)
+from .readers import BulkHdf5Reader, read_csv_record, read_header, read_many, read_record
+from .export import export_combined, export_denoised, export_records_csv, get_rec_paths
+from .pipeline import ShardedRecordStream, device_batches, prefetch_to_device
+
+__all__ = [
+    'EcgDataset', 'PtbxlSplits', 'get_ptbxl_splits', 'labels_to_multi_hot',
+    'load_ptbxl_from_export', 'parse_scp_codes', 'split_by_strat_fold', 'synth_ecg',
+    'synth_ptbxl', 'write_combined_hdf5',
+    'BulkHdf5Reader', 'read_csv_record', 'read_header', 'read_many', 'read_record',
+    'export_combined', 'export_denoised', 'export_records_csv', 'get_rec_paths',
+    'ShardedRecordStream', 'device_batches', 'prefetch_to_device',
+]

@@ -1,0 +1,214 @@
+"""Datasets: unified-HDF5 access, PTB-XL label/split logic, synthetic corpora.
+
+Reference parity:
+  * ``EcgDataset`` (preprocess/dataset.py:22-99): wraps one combined/denoised
+    HDF5 of shape (N, C, L) with JSON attrs; asserts the stored 250 Hz grid
+    (dataset.py:42); tolerates partially-denoised files by masking all-zero
+    records (``idxs_processed``, dataset.py:53-58).
+  * PTB-XL labels (preprocess/ptb_dataset.py:28-50): every key of a record's
+    ``scp_codes`` dict is a binary ground-truth label (likelihoods
+    deliberately ignored); 71-dim multi-hot.
+  * official splits (ptb_dataset.py:100-129): strat_fold 1-8 train / 9 eval /
+    10 test.
+
+TPU-native difference: instead of a per-item ``__getitem__`` consumed one row
+per step, splits materialize as contiguous float32 arrays (HBM-residency for
+PTB-XL: 21,837 x 12 x 2500 f32 ~ 2.6 GB) handed to the trainer, which fuses
+normalize/pad/augment into the jitted step.
+
+Because the public corpora are not downloadable in every environment, this
+module also ships a deterministic synthetic ECG generator producing
+reference-shaped HDF5 + label tables, used by tests and benchmarks.
+"""
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..registry import N_LEADS, PTBXL_ID2CODE, PTBXL_N_CLASS, TARGET_FQS
+from ..train.trainer import SplitData
+
+
+# ---------------------------------------------------------------------------
+# HDF5-backed dataset (reference EcgDataset)
+# ---------------------------------------------------------------------------
+class EcgDataset:
+    """Unified-corpus accessor over the ``{dnm}-combined/denoised.hdf5`` layout
+    (data_export.py:221-230: dataset 'data' of (N, C, L) + JSON 'meta' attrs).
+    """
+
+    def __init__(self, path: str, fqs: int = TARGET_FQS):
+        import h5py
+        self.path = path
+        self._file = h5py.File(path, 'r')
+        self.dataset = self._file['data']
+        self.attrs = json.loads(self._file.attrs['meta'])
+        assert self.attrs['fqs'] == fqs, (self.attrs['fqs'], fqs)
+        # partially-denoised tolerance: mask all-zero records (dataset.py:53-58)
+        probe = np.asarray(self.dataset[:, 0, :8])  # cheap any-nonzero probe
+        nonzero = np.any(probe != 0, axis=-1)
+        if nonzero.all():
+            self.is_full = True
+            self.idxs_processed = np.arange(self.dataset.shape[0])
+        else:
+            full = np.asarray([np.any(self.dataset[i] != 0)
+                               for i in range(self.dataset.shape[0])])
+            self.is_full = bool(full.all())
+            self.idxs_processed = np.nonzero(full)[0]
+
+    def __len__(self):
+        return self.dataset.shape[0] if self.is_full else self.idxs_processed.size
+
+    def load(self, idxs: Optional[Sequence[int]] = None) -> np.ndarray:
+        """Materialize rows as float32 (the HDF5 stores float32/64)."""
+        if idxs is None:
+            idxs = self.idxs_processed if not self.is_full else slice(None)
+        arr = self.dataset[idxs]
+        return np.asarray(arr, np.float32)
+
+    def close(self):
+        self._file.close()
+
+
+# ---------------------------------------------------------------------------
+# PTB-XL labels + splits
+# ---------------------------------------------------------------------------
+def parse_scp_codes(scp: Union[str, Dict]) -> List[int]:
+    """scp_codes dict/str -> sorted class-id list (ptb_dataset.py:42-45)."""
+    if isinstance(scp, str):
+        scp = ast.literal_eval(scp)
+    code2id = {c: i for i, c in enumerate(PTBXL_ID2CODE)}
+    return sorted(code2id[c] for c in scp.keys() if c in code2id)
+
+
+def labels_to_multi_hot(labels: Sequence[Sequence[int]],
+                        n_class: int = PTBXL_N_CLASS) -> np.ndarray:
+    out = np.zeros((len(labels), n_class), np.float32)
+    for i, lbs in enumerate(labels):
+        out[i, list(lbs)] = 1.0
+    return out
+
+
+@dataclasses.dataclass
+class PtbxlSplits:
+    """train/eval/test splits (reference PtbxlSplitDatasets namedtuple)."""
+    train: SplitData
+    eval: SplitData
+    test: SplitData
+
+
+def split_by_strat_fold(strat_fold: np.ndarray,
+                        n_sample: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Official folds: train < 9, eval == 9, test == 10 (ptb_dataset.py:110)."""
+    idx = np.arange(strat_fold.size)
+    tr = idx[strat_fold < 9]
+    vl = idx[strat_fold == 9]
+    ts = idx[strat_fold == 10]
+    if n_sample is not None:
+        tr, vl, ts = tr[:n_sample], vl[:n_sample], ts[:n_sample]
+    return tr, vl, ts
+
+
+def get_ptbxl_splits(
+    signals: np.ndarray,
+    labels: Sequence[Sequence[int]],
+    strat_fold: np.ndarray,
+    n_sample: Optional[int] = None,
+) -> PtbxlSplits:
+    """Assemble SplitData triple from materialized arrays + label id lists."""
+    multi_hot = labels_to_multi_hot(labels)
+    tr, vl, ts = split_by_strat_fold(np.asarray(strat_fold), n_sample)
+    if n_sample is None:
+        assert tr.size + vl.size + ts.size == signals.shape[0]
+
+    def mk(idx):
+        return SplitData(signals=np.ascontiguousarray(signals[idx]),
+                         labels=multi_hot[idx])
+    return PtbxlSplits(train=mk(tr), eval=mk(vl), test=mk(ts))
+
+
+def load_ptbxl_from_export(
+    h5_path: str, labels_csv: str, n_sample: Optional[int] = None,
+) -> PtbxlSplits:
+    """Load the exported PTB-XL HDF5 + the labels index csv
+    (columns: ecg_id, strat_fold, labels -- reference ptb-xl-labels.csv,
+    ptb_dataset.py:106-110)."""
+    import pandas as pd
+    ds = EcgDataset(h5_path)
+    df = pd.read_csv(labels_csv)
+    labels = [ast.literal_eval(s) if isinstance(s, str) else s for s in df['labels']]
+    return get_ptbxl_splits(ds.load(slice(None)), labels,
+                            df['strat_fold'].to_numpy(), n_sample)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus (tests / benches / environments without the real data)
+# ---------------------------------------------------------------------------
+def synth_ecg(rng: np.random.Generator, n: int, n_lead: int = N_LEADS,
+              length: int = 2500, fqs: int = TARGET_FQS) -> np.ndarray:
+    """ECG-morphology-ish synthetic 12-lead signals (QRS train + P/T-ish bumps
+    + wander + noise), vectorized.  Not physiological -- just shaped like the
+    real corpus for pipeline/throughput work."""
+    t = np.arange(length) / fqs                              # (L,)
+    hr = rng.uniform(0.8, 1.8, (n, 1, 1))                    # beats/sec
+    phase0 = rng.uniform(0, 1, (n, 1, 1))
+    lead_gain = rng.uniform(0.4, 1.6, (n, n_lead, 1)) * np.sign(
+        rng.uniform(-0.3, 1.0, (n, n_lead, 1)))
+    phase = (t[None, None, :] * hr + phase0) % 1.0
+    qrs = np.exp(-((phase - 0.5) ** 2) / (2 * 0.0006))
+    twave = 0.25 * np.exp(-((phase - 0.72) ** 2) / (2 * 0.004))
+    pwave = 0.12 * np.exp(-((phase - 0.35) ** 2) / (2 * 0.002))
+    beat = (qrs + twave + pwave) * lead_gain
+    wander = (0.15 * np.sin(2 * np.pi * 0.3 * t[None, None, :]
+                            + rng.uniform(0, 6, (n, 1, 1)))
+              + 0.08 * np.sin(2 * np.pi * 0.07 * t[None, None, :]
+                              + rng.uniform(0, 6, (n, 1, 1))))
+    noise = 0.03 * rng.standard_normal((n, n_lead, length))
+    return (beat + wander + noise).astype(np.float32)
+
+
+def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500
+                ) -> Tuple[np.ndarray, List[List[int]], np.ndarray]:
+    """Synthetic (signals, label-id lists, strat_fold) shaped like PTB-XL.
+
+    Labels correlate weakly with signal statistics so a model can actually
+    learn above-chance AUROC on it (used by the training smoke tests).
+    """
+    rng = np.random.default_rng(seed)
+    signals = synth_ecg(rng, n, length=length)
+    # derive a couple of learnable labels from signal properties
+    amp = np.abs(signals).mean(axis=(1, 2))
+    hr_proxy = (np.abs(np.diff(signals[:, 0], axis=-1)) > 0.15).sum(axis=-1)
+    labels: List[List[int]] = []
+    norm_id = PTBXL_ID2CODE.index('NORM')
+    for i in range(n):
+        lbs = set()
+        if amp[i] > np.median(amp):
+            lbs.add(norm_id)
+        if hr_proxy[i] > np.median(hr_proxy):
+            lbs.add(1)
+        if rng.uniform() < 0.15:
+            lbs.add(int(rng.integers(2, PTBXL_N_CLASS)))
+        if not lbs:
+            lbs.add(4)
+        labels.append(sorted(lbs))
+    strat_fold = rng.integers(1, 11, size=n)
+    return signals, labels, strat_fold
+
+
+def write_combined_hdf5(path: str, signals: np.ndarray, dataset_name: str = 'PTB-XL',
+                        fqs: int = TARGET_FQS) -> str:
+    """Write the reference's combined-HDF5 layout (data_export.py:221-230):
+    'data' dataset + JSON 'meta' attrs with dnm/fqs."""
+    import h5py
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('data', data=signals.astype(np.float32))
+        f.attrs['meta'] = json.dumps({'dnm': dataset_name, 'fqs': fqs})
+    return path

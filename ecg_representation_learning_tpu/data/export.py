@@ -1,0 +1,167 @@
+"""Corpus export jobs: raw corpora -> unified 250 Hz HDF5 (+ denoised pass).
+
+Reference parity (preprocess/data_export.py + preprocess_matlab/DataExport.m):
+  * ``export_combined``: per-dataset glob via the registry ``rec_fmt``
+    (data_export.py:61-66), threaded host reads (191-193), resample to 250 Hz
+    (205-215), fixed-length (N, 12, L) float32 HDF5 with JSON attrs (221-230).
+    Signals shorter than the pad length are zero-padded at the end; longer
+    ones are truncated (the reference allocates max-length and writes rows).
+  * ``export_records_csv``: the labels index (patient / record / dataset
+    columns, data_export.py:46, 164-173).
+  * ``export_denoised``: the MATLAB batch-denoise driver (DataExport.m:12-66)
+    as a checkpointed device job -- RESUMABLE by skipping rows already nonzero
+    in the output (DataExport.m:28-44), with the broken-record rule: an
+    all-zero input lead stays all-zero instead of becoming NaN
+    (record 12722's lead 11, DataExport.m:46-54).
+
+TPU-native difference: resampling/denoising run as device-batched jitted
+programs over thousands of records at once, not a per-record host loop.
+"""
+from __future__ import annotations
+
+import glob as globlib
+import json
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import PreprocessConfig
+from ..ops.preprocess import zheng_denoise
+from ..ops.resample import resample_to
+from ..registry import DATASETS, TARGET_FQS, DatasetMeta
+from ..utils.logging import get_logger
+from .readers import BulkHdf5Reader, read_csv_record, read_many, read_record
+
+
+def get_rec_paths(dataset_key: str, data_root: str) -> List[str]:
+    """Record files per the registry glob (reference get_rec_paths, ecg.py:178-182)."""
+    meta = DATASETS[dataset_key]
+    pattern = os.path.join(data_root, meta.dir_name, meta.rec_fmt)
+    return sorted(globlib.iglob(pattern, recursive=True))
+
+
+def _read_raw(dataset_key: str, paths: Sequence[str], n_workers: int = 8
+              ) -> List[np.ndarray]:
+    meta = DATASETS[dataset_key]
+    if meta.reader == 'csv':
+        return read_many(paths, read_csv_record, n_workers)
+    if meta.reader == 'hdf5_bulk':
+        rd = BulkHdf5Reader(paths[0])
+        return [rd[i] for i in range(len(rd))]
+    ext = meta.rec_ext or ''
+    return read_many(paths, lambda p: read_record(p[:-len(ext)] if ext else p)[0],
+                     n_workers)
+
+
+def export_combined(
+    dataset_key: str,
+    data_root: str,
+    out_dir: str,
+    fqs: int = TARGET_FQS,
+    pad_length: Optional[int] = None,
+    batch: int = 256,
+    n_workers: int = 8,
+) -> str:
+    """Raw corpus -> ``{key}-combined.hdf5`` on the unified grid."""
+    import h5py
+    logger = get_logger('ECG Record Export')
+    meta = DATASETS[dataset_key]
+    paths = get_rec_paths(dataset_key, data_root)
+    assert paths, f'no records matched for {dataset_key} under {data_root}'
+    logger.info(f'Exporting {dataset_key}: {len(paths)} records @ {meta.fqs} Hz')
+
+    sigs = _read_raw(dataset_key, paths, n_workers)
+    src_fqs = meta.fqs
+    tgt_len = pad_length or max(
+        int(round(s.shape[-1] * fqs / src_fqs)) for s in sigs)
+    n, c = len(sigs), sigs[0].shape[0]
+    out_path = os.path.join(out_dir, f'{dataset_key}-combined.hdf5')
+    os.makedirs(out_dir, exist_ok=True)
+    with h5py.File(out_path, 'w') as f:
+        dset = f.create_dataset('data', shape=(n, c, tgt_len), dtype=np.float32)
+        for i0 in range(0, n, batch):
+            chunk = sigs[i0:i0 + batch]
+            # group equal-length signals to keep shapes static under jit
+            by_len = {}
+            for j, s in enumerate(chunk):
+                by_len.setdefault(s.shape[-1], []).append(j)
+            out_chunk = np.zeros((len(chunk), c, tgt_len), np.float32)
+            for length, idxs in by_len.items():
+                arr = np.stack([np.nan_to_num(chunk[j]) for j in idxs])
+                res = np.asarray(resample_to(jnp.asarray(arr), src_fqs, fqs,
+                                             method='fft'))
+                keep = min(res.shape[-1], tgt_len)
+                out_chunk[idxs, :, :keep] = res[..., :keep]
+            assert np.isfinite(out_chunk).all()  # reference data_export.py:199-200
+            dset[i0:i0 + len(chunk)] = out_chunk
+        f.attrs['meta'] = json.dumps({'dnm': dataset_key, 'fqs': fqs})
+    logger.info(f'Wrote {out_path} ({n} x {c} x {tgt_len})')
+    return out_path
+
+
+def export_records_csv(dataset_keys: Sequence[str], data_root: str,
+                       out_path: str) -> str:
+    """The labels/record index (reference export_record_info,
+    data_export.py:164-173: one row per record with patient/record/dataset)."""
+    import pandas as pd
+    rows = []
+    for key in dataset_keys:
+        for p in get_rec_paths(key, data_root):
+            rows.append({'dataset': key,
+                         'record': os.path.splitext(os.path.basename(p))[0],
+                         'path': p})
+    df = pd.DataFrame(rows)
+    os.makedirs(os.path.dirname(out_path) or '.', exist_ok=True)
+    df.to_csv(out_path, index=False)
+    return out_path
+
+
+def export_denoised(
+    combined_path: str,
+    out_path: Optional[str] = None,
+    cfg: PreprocessConfig = PreprocessConfig(),
+    batch: int = 64,
+    resume: bool = True,
+) -> str:
+    """Combined -> denoised HDF5 via the device Zheng chain; resumable."""
+    import h5py
+    logger = get_logger('ECG Denoise Export')
+    if out_path is None:
+        if '-combined' in combined_path:
+            out_path = combined_path.replace('-combined', '-denoised')
+        else:
+            base, ext = os.path.splitext(combined_path)
+            out_path = f'{base}-denoised{ext}'
+    assert os.path.abspath(out_path) != os.path.abspath(combined_path)
+    with h5py.File(combined_path, 'r') as src:
+        data = src['data']
+        attrs = json.loads(src.attrs['meta'])
+        n, c, length = data.shape
+        fqs = attrs['fqs']
+        mode = 'r+' if (resume and os.path.exists(out_path)) else 'w'
+        with h5py.File(out_path, mode) as dst:
+            if 'data' not in dst:
+                dst.create_dataset('data', shape=(n, c, length), dtype=np.float32)
+                dst.attrs['meta'] = json.dumps({**attrs, 'denoised': True})
+            out = dst['data']
+            for i0 in range(0, n, batch):
+                i1 = min(i0 + batch, n)
+                if resume:  # skip rows already denoised (DataExport.m:28-44)
+                    existing = out[i0:i1]
+                    todo = ~np.any(existing != 0, axis=(1, 2))
+                    if not todo.any():
+                        continue
+                else:
+                    todo = np.ones(i1 - i0, bool)
+                chunk = np.asarray(data[i0:i1], np.float32)
+                den = np.asarray(zheng_denoise(jnp.asarray(chunk), fqs=fqs, cfg=cfg))
+                # broken-record rule: all-zero input lead stays all-zero
+                zero_leads = ~np.any(chunk != 0, axis=-1)          # (B, C)
+                den = np.where(zero_leads[..., None], 0.0, den)
+                den = np.nan_to_num(den)
+                merged = np.where(todo[:, None, None], den, out[i0:i1])
+                out[i0:i1] = merged
+                logger.info(f'denoised rows [{i0}, {i1})')
+    return out_path

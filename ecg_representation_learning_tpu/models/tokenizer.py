@@ -1,0 +1,206 @@
+"""Signal tokenizer: cluster fixed-length segments into a discrete vocabulary.
+
+Reference ``EcgTokenizer`` (models/ecg_tokenizer.py:140-626): pad signals to a
+multiple of ``k`` ('zero'/'shift' modes), reshape N x C x L into length-k
+segments, mean-center each segment, cluster (the practical backend is KMeans,
+ecg_tokenizer.py:29), store (centers, cluster sizes); encode = nearest-centroid
+query (KDTree there), with optional minimum-cluster-size filtering
+(``CustNN``, ecg_tokenizer.py:193-220); decode = centroid lookup; pickle
+persistence; rank-frequency power-law analysis (ecg_tokenizer.py:443-487).
+
+TPU-native: k-means is Lloyd's algorithm in jnp with k-means++ seeding --
+the assignment step is one (segments x centers) distance matmul on the MXU,
+the update a segment-sum; nearest-centroid encode is an argmin over the same
+matmul (no KDTree needed: codebooks are small and the MXU beats tree traversal
+wholesale).  Everything jit-compiled; batch-parallel over the mesh if needed.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import pickle
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pad import pad_to_multiple
+
+
+# ---------------------------------------------------------------------------
+# jnp k-means
+# ---------------------------------------------------------------------------
+def _pairwise_sq_dists(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """(N, D), (K, D) -> (N, K) squared euclidean distances via one matmul."""
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=1)
+    xc = x @ c.T
+    return x2 - 2.0 * xc + c2[None, :]
+
+
+def kmeans_plus_plus_init(rng: jax.Array, x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-means++ seeding (the reference KMeans default, ecg_tokenizer.py:29)."""
+    n = x.shape[0]
+    rng, sub = jax.random.split(rng)
+    first = jax.random.randint(sub, (), 0, n)
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    d0 = jnp.sum((x - centers0[0]) ** 2, axis=1)
+
+    def body(carry, i):
+        centers, d, rng = carry
+        rng, sub = jax.random.split(rng)
+        probs = d / jnp.maximum(d.sum(), 1e-12)
+        idx = jax.random.choice(sub, n, p=probs)
+        c_new = x[idx]
+        centers = centers.at[i].set(c_new)
+        d = jnp.minimum(d, jnp.sum((x - c_new) ** 2, axis=1))
+        return (centers, d, rng), None
+
+    (centers, _, _), _ = jax.lax.scan(body, (centers0, d0, rng), jnp.arange(1, k))
+    return centers
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'n_iter'))
+def kmeans_fit(rng: jax.Array, x: jnp.ndarray, k: int, n_iter: int = 64
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lloyd iterations.  Returns (centers (K,D), counts (K,), inertia)."""
+    centers = kmeans_plus_plus_init(rng, x, k)
+
+    def step(centers, _):
+        d = _pairwise_sq_dists(x, centers)
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=x.dtype)       # (N, K)
+        counts = one_hot.sum(axis=0)                              # (K,)
+        sums = one_hot.T @ x                                      # (K, D) MXU
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep empty clusters where they were
+        new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        return new_centers, None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=n_iter)
+    d = _pairwise_sq_dists(x, centers)
+    assign = jnp.argmin(d, axis=1)
+    counts = jax.nn.one_hot(assign, k, dtype=x.dtype).sum(axis=0)
+    inertia = jnp.take_along_axis(d, assign[:, None], axis=1).sum()
+    return centers, counts, inertia
+
+
+@jax.jit
+def nearest_centroid(x: jnp.ndarray, centers: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode: (N, D) segments -> (ids (N,), distances (N,))."""
+    d = _pairwise_sq_dists(x, centers)
+    ids = jnp.argmin(d, axis=1)
+    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d, ids[:, None], axis=1)[:, 0], 0.0))
+    return ids, dist
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer object
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class EcgTokenizer:
+    """Parity object for the reference tokenizer (fit / encode / decode /
+    size-threshold filtering / persistence / power-law report)."""
+    k: int = 8
+    pad: str = 'shift'
+    centers: Optional[np.ndarray] = None     # (K, k)
+    lens: Optional[np.ndarray] = None        # (K,) cluster sizes
+    fit_method: str = 'kmeans'
+    n_sig: Optional[int] = None
+    cls_th: Optional[int] = None             # n_clusters used at fit time
+
+    def _segment(self, sig: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, ...]]:
+        """pad -> (S, k) mean-centered segments + per-segment means + out shape."""
+        sig_j = pad_to_multiple(jnp.asarray(sig, jnp.float32), self.k, self.pad)
+        lead_shape = sig_j.shape[:-1]
+        segs = sig_j.reshape(-1, self.k)
+        means = segs.mean(axis=-1, keepdims=True)
+        n_seg_per = sig_j.shape[-1] // self.k
+        return segs - means, means, lead_shape + (n_seg_per,)
+
+    def fit(self, sigs: np.ndarray, method: str = 'kmeans', n_clusters: int = 256,
+            n_iter: int = 64, seed: int = 77) -> 'EcgTokenizer':
+        """Fit the codebook on (N, C, L) signals (reference fit,
+        ecg_tokenizer.py:352-508; only the practical kmeans backend is kept --
+        sklearn's hierarchical/DBSCAN/OPTICS/Birch variants were exploratory)."""
+        assert method == 'kmeans', 'TPU backend implements kmeans (see docstring)'
+        segs, _, _ = self._segment(sigs)
+        centers, counts, _ = kmeans_fit(jax.random.PRNGKey(seed), segs,
+                                        k=n_clusters, n_iter=n_iter)
+        counts_np = np.asarray(counts)
+        order = np.argsort(-counts_np)  # sort by cluster size, descending
+        self.centers = np.asarray(centers)[order]
+        self.lens = counts_np[order]
+        self.fit_method = method
+        self.n_sig = int(sigs.shape[0])
+        self.cls_th = n_clusters
+        return self
+
+    def _filtered_codebook(self, th: Optional[Union[int, float]]
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """CustNN semantics (ecg_tokenizer.py:197-214): drop centroids whose
+        cluster size is below ``th`` (int absolute / float fraction of total)."""
+        if th is None:
+            return self.centers, np.arange(self.centers.shape[0])
+        if isinstance(th, float):
+            assert 0 < th < 1
+            th = round(float(self.lens.sum()) * th)
+        keep = self.lens >= th
+        return self.centers[keep], np.nonzero(keep)[0]
+
+    def __call__(self, sig: np.ndarray, th: Optional[Union[int, float]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode: (..., L) -> (token ids (..., S), segment means (..., S))."""
+        assert self.centers is not None, 'fit() first'
+        segs, means, out_shape = self._segment(sig)
+        codebook, _ = self._filtered_codebook(th)
+        ids, _ = nearest_centroid(segs, jnp.asarray(codebook))
+        return (np.asarray(ids).reshape(out_shape),
+                np.asarray(means).reshape(out_shape))
+
+    def decode(self, ids: np.ndarray, th: Optional[Union[int, float]] = None,
+               means: Optional[np.ndarray] = None) -> np.ndarray:
+        """ids (..., S) -> (..., S*k) signal; add back segment means if given."""
+        codebook, _ = self._filtered_codebook(th)
+        segs = codebook[np.asarray(ids)]                  # (..., S, k)
+        if means is not None:
+            segs = segs + np.asarray(means)[..., None]
+        return segs.reshape(segs.shape[:-2] + (-1,))
+
+    # ------------------------------------------------------------- persistence
+    def save(self, path: str) -> str:
+        with open(path, 'wb') as f:
+            pickle.dump({
+                'k': self.k, 'pad': self.pad, 'centers': self.centers,
+                'lens': self.lens, 'fit_method': self.fit_method,
+                'n_sig': self.n_sig, 'cls_th': self.cls_th,
+            }, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> 'EcgTokenizer':
+        with open(path, 'rb') as f:
+            d = pickle.load(f)
+        return cls(**d)
+
+    # ---------------------------------------------------------------- analysis
+    def rank_frequency(self) -> Dict[str, np.ndarray]:
+        """Cluster-size rank-frequency curve + power-law fit
+        (reference ecg_tokenizer.py:443-487 / util/ecg.py fit_power_law)."""
+        assert self.lens is not None
+        freqs = np.sort(self.lens)[::-1].astype(np.float64)
+        ranks = np.arange(1, freqs.size + 1, dtype=np.float64)
+        a, b = fit_power_law(ranks, freqs)
+        return {'ranks': ranks, 'freqs': freqs, 'coeff': a, 'exponent': b}
+
+
+def fit_power_law(x: np.ndarray, y: np.ndarray) -> Tuple[float, float]:
+    """Fit y = a * x^b by least squares in log-log space
+    (reference util/ecg.py:96-113 uses scipy.optimize; log-log LS is the
+    standard closed form)."""
+    mask = (x > 0) & (y > 0)
+    lx, ly = np.log(x[mask]), np.log(y[mask])
+    b, log_a = np.polyfit(lx, ly, 1)
+    return float(np.exp(log_a)), float(b)

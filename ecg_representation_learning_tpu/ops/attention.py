@@ -183,7 +183,8 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
     (the reference applies dropout to attention probabilities, vit-pytorch
     semantics via ecg_vit.py:113)."""
     scale = 1.0 / np.sqrt(q.shape[-1])
-    if use_flash and (deterministic or dropout_rate == 0.0):
+    on_tpu = jax.default_backend() not in ('cpu', 'gpu')  # tpu / axon tunnel
+    if use_flash and (deterministic or dropout_rate == 0.0) and (on_tpu or interpret):
         return flash_attention(q, k, v, None, 128, 128, interpret)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -1,0 +1,95 @@
+"""Device mesh construction and sharding rules.
+
+The reference has no distributed backend at all (SURVEY.md §2.3: its only
+concurrency is a thread-pool file reader; the active trainer is strictly
+single-device, train.py:254-255).  This module is the new first-class
+parallel layer: a 2-D ``Mesh`` over ('data', 'model') with
+
+  * data parallelism: batches sharded over 'data', gradient all-reduce over
+    ICI inserted by GSPMD from the shardings (no hand-written collectives);
+  * tensor parallelism (Megatron-style) over 'model': qkv / fc1 kernels
+    column-sharded, attention-out / fc2 kernels row-sharded -- expressed as
+    PartitionSpecs on the flax param pytree and resolved by pjit/GSPMD;
+  * everything else replicated.
+
+Multi-host: ``jax.distributed.initialize`` + the same mesh over all processes
+(DCN between slices); the sharding rules are identical.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh.  Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        assert n % n_model == 0, (n, n_model)
+        n_data = n // n_model
+    assert n_data * n_model == n, (n_data, n_model, n)
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# --- parameter partition rules -------------------------------------------------
+# matched against the '/'-joined flax param path; first hit wins
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # column-parallel: shard output features over 'model'
+    (r'attn/qkv/kernel$',        P(None, MODEL_AXIS)),
+    (r'mlp/fc1/kernel$',         P(None, MODEL_AXIS)),
+    (r'mlp/fc1/bias$',           P(MODEL_AXIS)),
+    # row-parallel: shard input features over 'model'
+    (r'attn/out/kernel$',        P(MODEL_AXIS, None)),
+    (r'mlp/fc2/kernel$',         P(MODEL_AXIS, None)),
+    # patch embedding: shard the hidden dim
+    (r'patch_embed/proj/kernel$', P(None, MODEL_AXIS)),
+    # everything else replicated (norms, biases, pos/cls embeddings, head)
+)
+
+
+def param_spec(path: str, ndim: int) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            if len([a for a in spec if a is not None]) <= ndim:
+                return spec
+    return P()  # replicated
+
+
+def param_shardings(params, mesh: Mesh):
+    """PartitionSpec pytree for a flax param tree (NamedSharding leaves)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return '/'.join(getattr(k, 'key', str(k)) for k in kp)
+
+    specs = {path_str(kp): param_spec(path_str(kp), v.ndim) for kp, v in flat}
+
+    def to_sharding(kp, v):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays sharded over 'data' on the leading axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree onto the mesh per the partition rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,187 @@
+"""MAE pretraining loop + pretrained-encoder transfer (probe / fine-tune).
+
+North-star pipeline (BASELINE.json configs 2-4): masked-patch pretraining of
+the shared encoder, then either linear probing (frozen trunk, train the head)
+or full fine-tuning on PTB-XL.  The reference has no pretraining loop (its
+self-supervised track is the clustering tokenizer only); loop mechanics mirror
+the supervised Trainer (trainer.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..configs import MaeConfig, TrainConfig, VitConfig
+from ..models.mae import EcgMae
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, param_shardings, replicated
+from ..utils.logging import TbWriter, get_logger
+from .optim import make_optimizer
+from .trainer import SplitData, TrainState, _prep_batch
+
+
+class MaeTrainer:
+    """Self-supervised masked-patch pretrainer."""
+
+    def __init__(
+        self,
+        model_cfg: VitConfig,
+        mae_cfg: MaeConfig,
+        train_cfg: TrainConfig,
+        train_data: Optional[SplitData] = None,
+        eval_data: Optional[SplitData] = None,
+        norm_stats: Optional[Dict[str, Any]] = None,
+        output_dir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.model_cfg, self.mae_cfg, self.cfg = model_cfg, mae_cfg, train_cfg
+        self.model = EcgMae(model_cfg, mae_cfg)
+        self.train_data, self.eval_data = train_data, eval_data
+        stats = norm_stats or {'mean': [0.0] * model_cfg.num_channels,
+                               'std': [1.0] * model_cfg.num_channels}
+        self.mean = jnp.asarray(stats['mean'], jnp.float32)
+        self.std = jnp.asarray(stats['std'], jnp.float32)
+        self.mesh = mesh if mesh is not None else make_mesh(n_model=train_cfg.mesh_model)
+        self.output_dir = output_dir or os.path.join('runs', 'mae')
+        n_train = len(train_data) if train_data is not None else 1
+        self.steps_per_epoch = max(1, n_train // train_cfg.train_batch_size)
+        self.total_steps = self.steps_per_epoch * train_cfg.num_train_epoch
+        self.optimizer, self.schedule = make_optimizer(train_cfg, self.total_steps)
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+        self._train_step = None
+        self.logger = get_logger('EcgMae Pretrain')
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        rng, init_rng, mask_rng = jax.random.split(rng, 3)
+        dummy = jnp.zeros((1, self.model_cfg.num_channels,
+                           self.model_cfg.max_signal_length), jnp.float32)
+        params = self.model.init({'params': init_rng, 'mask': mask_rng}, dummy)
+        opt_state = self.optimizer.init(params)
+        pspec = param_shardings(params, self.mesh)
+        self.state = TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh)),
+            params=jax.tree.map(jax.device_put, params, pspec),
+            opt_state=jax.device_put(opt_state, replicated(self.mesh)),
+            rng=jax.device_put(rng, replicated(self.mesh)),
+        )
+        return self.state
+
+    def _build_step(self):
+        model, cfg = self.model, self.cfg
+        mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
+        bsharding = batch_sharding(self.mesh)
+
+        def train_step(state: TrainState, sig):
+            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+            sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            sig = _prep_batch(sig, mean, std, patch, train=False)
+
+            def loss_fn(params):
+                out = model.apply(params, sig, deterministic=False,
+                                  rngs={'mask': mask_rng, 'dropout': do_rng})
+                return out.loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state, rng=rng)
+            return new_state, {'loss': loss,
+                               'learning_rate': self.schedule(state.step)}
+
+        with self.mesh:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,),
+                                       in_shardings=(None, bsharding))
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        os.makedirs(self.output_dir, exist_ok=True)
+        tb = TbWriter(os.path.join(self.output_dir, 'tb'))
+        if self.state is None:
+            self.init_state()
+        if self._train_step is None:
+            self._build_step()
+        host_rng = np.random.default_rng(cfg.seed)
+        n = len(self.train_data)
+        t0 = time.time()
+        last_loss = None
+        for _ in range(cfg.num_train_epoch):
+            self.epoch += 1
+            idx = np.arange(n)
+            host_rng.shuffle(idx)
+            stop = (n // cfg.train_batch_size) * cfg.train_batch_size
+            for i in range(0, stop, cfg.train_batch_size):
+                take = idx[i:i + cfg.train_batch_size]
+                with self.mesh:
+                    self.state, metrics = self._train_step(
+                        self.state, jnp.asarray(self.train_data.signals[take]))
+                step = int(self.state.step)
+                if step % max(1, self.steps_per_epoch // 4) == 0:
+                    last_loss = float(metrics['loss'])
+                    payload = {'pretrain/loss': last_loss,
+                               'pretrain/lr': float(metrics['learning_rate']),
+                               'epoch': self.epoch, 'step': step}
+                    self.logger.info(str(payload))
+                    tb.log(payload, step)
+        tb.close()
+        if last_loss is None and self.state is not None:
+            last_loss = float('nan')
+        from .checkpoint import save_checkpoint
+        path = os.path.join(os.path.abspath(self.output_dir), 'ckpt-final')
+        save_checkpoint(path, self.state, extra={'epoch': self.epoch})
+        return {'loss': last_loss, 'epochs': self.epoch,
+                'seconds': time.time() - t0, 'checkpoint': path}
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-encoder transfer
+# ---------------------------------------------------------------------------
+def transfer_encoder(mae_params, vit_params):
+    """Copy the MAE encoder trunk into an ``EcgVit`` param tree.
+
+    Name map: encoder_patch_embed -> encoder/patch_embed,
+    encoder_block_i -> encoder/block_i, encoder_norm -> encoder/final_norm,
+    encoder_pos_embed (P, H) -> rows 1..P of the classifier pos_embed (cls row
+    keeps its init).  Head / cls-token stay at their fresh init.
+    """
+    import flax
+    mae_p = flax.core.unfreeze(mae_params)['params']
+    vit_p = flax.core.unfreeze(vit_params)
+    enc = vit_p['params']['encoder']
+    enc['patch_embed'] = mae_p['encoder_patch_embed']
+    for name, sub in mae_p.items():
+        if name.startswith('encoder_block_'):
+            enc[name.replace('encoder_', '')] = sub
+    enc['final_norm'] = mae_p['encoder_norm']
+    pos = np.array(enc['pos_embed'])  # copy: jax arrays view as read-only
+    mae_pos = np.asarray(mae_p['encoder_pos_embed'])
+    pos[:, 1:1 + mae_pos.shape[1]] = mae_pos
+    enc['pos_embed'] = jnp.asarray(pos)
+    return flax.core.freeze(vit_p) if isinstance(vit_params, flax.core.FrozenDict) else vit_p
+
+
+def linear_probe_mask(params):
+    """optax mask: True (trainable) only for the classification head --
+    linear-probe protocol on a frozen pretrained trunk."""
+    def mask_fn(path, _):
+        keys = '/'.join(getattr(k, 'key', str(k)) for k in path)
+        return 'head' in keys
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_probe_optimizer(cfg: TrainConfig, total_steps: int, params):
+    """AdamW on the head only; trunk params get zero updates."""
+    opt, sched = make_optimizer(cfg, total_steps)
+    mask = linear_probe_mask(params)
+    frozen = optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, mask))
+    return optax.chain(opt, frozen), sched

@@ -6,10 +6,17 @@ Multi-chip behavior is tested on virtual CPU devices
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'  # override: env presets 'axon' (the TPU tunnel)
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+# sitecustomize sets jax_platforms='axon,cpu' through jax.config, which beats
+# the env var -- force CPU before any backend initializes
+jax.config.update('jax_platforms', 'cpu')
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np
 import pytest

@@ -1,0 +1,255 @@
+"""Data-layer tests: WFDB reader (synthetic fixtures), export jobs,
+datasets/splits, streaming pipeline, native decode parity."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ecg_representation_learning_tpu.data import (
+    EcgDataset, get_ptbxl_splits, labels_to_multi_hot, parse_scp_codes,
+    read_header, read_record, split_by_strat_fold, synth_ptbxl,
+    write_combined_hdf5,
+)
+from ecg_representation_learning_tpu.data.readers import _decode_fmt, _decode_fmt212
+
+
+# ---------------------------------------------------------------------------
+# WFDB fixtures: write records by hand, read them back
+# ---------------------------------------------------------------------------
+def write_wfdb16(tmp_path, name, sig_phys, fs=500, gain=1000.0, baseline=0):
+    """Encode (C, L) physical signal as a fmt-16 WFDB record."""
+    c, length = sig_phys.shape
+    dig = np.round(sig_phys * gain + baseline).astype(np.int16)
+    inter = dig.T.reshape(-1)  # frame-interleaved
+    (tmp_path / f'{name}.dat').write_bytes(inter.astype('<i2').tobytes())
+    lines = [f'{name} {c} {fs} {length}']
+    for i in range(c):
+        lines.append(f'{name}.dat 16 {gain:g}({baseline})/mV 16 0 0 0 0 lead{i}')
+    (tmp_path / f'{name}.hea').write_text('\n'.join(lines) + '\n')
+    return str(tmp_path / name)
+
+
+def write_wfdb212(tmp_path, name, dig, fs=257):
+    """Encode (C, L) digital int12 values as fmt 212."""
+    c, length = dig.shape
+    inter = dig.T.reshape(-1).astype(np.int32)
+    vals = np.where(inter < 0, inter + 4096, inter)
+    if vals.size % 2:
+        vals = np.concatenate([vals, [0]])
+    pairs = vals.reshape(-1, 2)
+    b = np.empty((pairs.shape[0], 3), np.uint8)
+    b[:, 0] = pairs[:, 0] & 0xFF
+    b[:, 1] = ((pairs[:, 0] >> 8) & 0x0F) | (((pairs[:, 1] >> 8) & 0x0F) << 4)
+    b[:, 2] = pairs[:, 1] & 0xFF
+    (tmp_path / f'{name}.dat').write_bytes(b.tobytes())
+    lines = [f'{name} {c} {fs} {length}']
+    for i in range(c):
+        lines.append(f'{name}.dat 212 200(0)/mV 12 0 0 0 0 lead{i}')
+    (tmp_path / f'{name}.hea').write_text('\n'.join(lines) + '\n')
+    return str(tmp_path / name)
+
+
+def test_wfdb16_roundtrip(tmp_path, rng):
+    sig = rng.standard_normal((12, 500)).astype(np.float32)
+    path = write_wfdb16(tmp_path, 'rec1', sig)
+    hdr = read_header(path + '.hea')
+    assert hdr.n_sig == 12 and hdr.fs == 500 and hdr.n_samples == 500
+    got, _ = read_record(path)
+    np.testing.assert_allclose(got, sig, atol=1e-3)  # quantized at gain 1000
+
+
+def test_wfdb212_roundtrip(tmp_path, rng):
+    dig = rng.integers(-2048, 2048, size=(2, 301), dtype=np.int32)
+    path = write_wfdb212(tmp_path, 'rec2', dig)
+    got, hdr = read_record(path, physical=False)
+    np.testing.assert_array_equal(got, dig)
+    phys, _ = read_record(path)
+    np.testing.assert_allclose(phys, dig / 200.0, atol=1e-5)
+
+
+def test_wfdb16_nan_sentinel(tmp_path):
+    sig = np.zeros((1, 4), np.float32)
+    path = write_wfdb16(tmp_path, 'rec3', sig, gain=1.0)
+    # overwrite with a sentinel value
+    raw = np.array([0, -32768, 5, -1], '<i2')
+    (tmp_path / 'rec3.dat').write_bytes(raw.tobytes())
+    got, _ = read_record(path)
+    assert np.isnan(got[0, 1])
+    assert got[0, 2] == 5
+
+
+def test_decode_fmt212_padding_parity(rng):
+    # native/python parity on odd lengths
+    dig = rng.integers(-2048, 2048, size=601, dtype=np.int32)
+    vals = np.where(dig < 0, dig + 4096, dig)
+    vals = np.concatenate([vals, [0]])
+    pairs = vals.reshape(-1, 2)
+    b = np.empty((pairs.shape[0], 3), np.uint8)
+    b[:, 0] = pairs[:, 0] & 0xFF
+    b[:, 1] = ((pairs[:, 0] >> 8) & 0x0F) | (((pairs[:, 1] >> 8) & 0x0F) << 4)
+    b[:, 2] = pairs[:, 1] & 0xFF
+    got = _decode_fmt(b.tobytes(), 212, 601)
+    np.testing.assert_array_equal(got, dig)
+    got_py = _decode_fmt212(b.tobytes(), 601)
+    np.testing.assert_array_equal(got_py, dig)
+
+
+def test_native_lib_or_fallback():
+    from ecg_representation_learning_tpu.data.native import native_available
+    # either path must yield working decodes (previous test exercises both
+    # dispatch and the pure-python function); here just record availability
+    assert native_available() in (True, False)
+
+
+def test_native_batch_reader(tmp_path, rng):
+    from ecg_representation_learning_tpu.data.native import native_available, read_records_16_batch
+    if not native_available():
+        pytest.skip('native lib not built')
+    sigs = rng.standard_normal((4, 3, 100)).astype(np.float32)
+    paths = [write_wfdb16(tmp_path, f'r{i}', sigs[i]) + '.dat' for i in range(4)]
+    gains = np.full((4, 3), 1000.0)
+    baselines = np.zeros((4, 3), np.int32)
+    out = read_records_16_batch(paths, 3, 100, gains, baselines, n_threads=2)
+    assert out is not None
+    np.testing.assert_allclose(out, sigs, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# datasets / splits
+# ---------------------------------------------------------------------------
+def test_hdf5_dataset_and_partial_mask(tmp_path, rng):
+    sigs = rng.standard_normal((10, 12, 100)).astype(np.float32)
+    sigs[3] = 0.0  # unprocessed record
+    sigs[7] = 0.0
+    p = write_combined_hdf5(str(tmp_path / 'x.hdf5'), sigs)
+    ds = EcgDataset(p)
+    assert not ds.is_full
+    np.testing.assert_array_equal(ds.idxs_processed,
+                                  [0, 1, 2, 4, 5, 6, 8, 9])
+    assert len(ds) == 8
+    arr = ds.load()
+    assert arr.shape == (8, 12, 100)
+
+
+def test_hdf5_fqs_assert(tmp_path, rng):
+    p = write_combined_hdf5(str(tmp_path / 'y.hdf5'),
+                            rng.standard_normal((2, 12, 50)).astype(np.float32),
+                            fqs=500)
+    with pytest.raises(AssertionError):
+        EcgDataset(p, fqs=250)
+
+
+def test_parse_scp_codes():
+    assert parse_scp_codes("{'NORM': 100.0, 'SR': 0.0}") == sorted([
+        4, 59])  # NORM id 4, SR id 59
+    assert parse_scp_codes({'IMI': 50.0}) == [5]
+
+
+def test_multi_hot():
+    mh = labels_to_multi_hot([[0, 5], [70]])
+    assert mh.shape == (2, 71)
+    assert mh[0, 0] == 1 and mh[0, 5] == 1 and mh[0].sum() == 2
+    assert mh[1, 70] == 1 and mh[1].sum() == 1
+
+
+def test_strat_fold_splits():
+    folds = np.asarray([1, 2, 8, 9, 9, 10, 3, 10])
+    tr, vl, ts = split_by_strat_fold(folds)
+    np.testing.assert_array_equal(tr, [0, 1, 2, 6])
+    np.testing.assert_array_equal(vl, [3, 4])
+    np.testing.assert_array_equal(ts, [5, 7])
+
+
+def test_get_ptbxl_splits_cover_all():
+    signals, labels, folds = synth_ptbxl(n=64, length=128)
+    sp = get_ptbxl_splits(signals, labels, folds)
+    assert len(sp.train) + len(sp.eval) + len(sp.test) == 64
+    assert sp.train.labels.shape[1] == 71
+
+
+# ---------------------------------------------------------------------------
+# export + pipeline
+# ---------------------------------------------------------------------------
+def test_export_combined_and_denoised(tmp_path, rng):
+    # build a tiny WFDB corpus under the PTB-XL registry layout
+    root = tmp_path / 'corpora'
+    recdir = root / 'PTB-XL' / 'records500' / '00000'
+    recdir.mkdir(parents=True)
+    for i in range(3):
+        sig = rng.standard_normal((12, 1000)).astype(np.float32) * 0.5
+        write_wfdb16(recdir, f'{i:05d}_hr', sig)
+    from ecg_representation_learning_tpu.data import export_combined, export_records_csv
+    out = export_combined('PTB-XL', str(root), str(tmp_path / 'exp'), batch=2)
+    import h5py
+    with h5py.File(out) as f:
+        assert f['data'].shape == (3, 12, 500)  # 1000@500Hz -> 500@250Hz
+        assert json.loads(f.attrs['meta'])['fqs'] == 250
+        assert np.isfinite(f['data'][:]).all()
+    csv = export_records_csv(['PTB-XL'], str(root), str(tmp_path / 'exp' / 'records.csv'))
+    import pandas as pd
+    assert len(pd.read_csv(csv)) == 3
+
+    from ecg_representation_learning_tpu.configs import PreprocessConfig
+    from ecg_representation_learning_tpu.data import export_denoised
+    cfg = PreprocessConfig(nlm_search_width=32, loess_window=101)
+    den = export_denoised(out, cfg=cfg, batch=2)
+    with h5py.File(den) as f:
+        assert np.isfinite(f['data'][:]).all()
+        assert np.any(f['data'][:] != 0)
+
+
+def test_export_denoised_zero_lead_rule(tmp_path, rng):
+    # broken-record rule: an all-zero input lead stays all-zero (DataExport.m:46-54)
+    sigs = rng.standard_normal((2, 12, 300)).astype(np.float32)
+    sigs[1, 10] = 0.0
+    p = write_combined_hdf5(str(tmp_path / 'c.hdf5'), sigs)
+    from ecg_representation_learning_tpu.configs import PreprocessConfig
+    from ecg_representation_learning_tpu.data import export_denoised
+    den = export_denoised(p, cfg=PreprocessConfig(nlm_search_width=16,
+                                                  loess_window=51), batch=2)
+    import h5py
+    with h5py.File(den) as f:
+        arr = f['data'][:]
+    assert np.all(arr[1, 10] == 0)
+    assert np.any(arr[1, 0] != 0)
+
+
+def test_export_denoised_resumable(tmp_path, rng):
+    sigs = rng.standard_normal((4, 2, 200)).astype(np.float32)
+    p = write_combined_hdf5(str(tmp_path / 'r.hdf5'), sigs)
+    from ecg_representation_learning_tpu.configs import PreprocessConfig
+    from ecg_representation_learning_tpu.data import export_denoised
+    cfg = PreprocessConfig(nlm_search_width=16, loess_window=51)
+    den = export_denoised(p, cfg=cfg, batch=2)
+    import h5py
+    with h5py.File(den, 'r+') as f:
+        first = f['data'][:2].copy()
+        f['data'][2:] = 0.0  # wipe second half -> "crash" midway
+    export_denoised(p, out_path=den, cfg=cfg, batch=2, resume=True)
+    with h5py.File(den) as f:
+        np.testing.assert_array_equal(f['data'][:2], first)  # untouched rows kept
+        assert np.any(f['data'][2:] != 0)                    # wiped rows redone
+
+
+def test_prefetch_pipeline(rng):
+    from ecg_representation_learning_tpu.data import device_batches
+    sigs = rng.standard_normal((50, 2, 64)).astype(np.float32)
+    labs = rng.standard_normal((50, 71)).astype(np.float32)
+    batches = list(device_batches(sigs, labs, 16, np.random.default_rng(0)))
+    assert len(batches) == 3  # drop_last
+    s, l = batches[0]
+    assert s.shape == (16, 2, 64) and l.shape == (16, 71)
+
+
+def test_sharded_stream(tmp_path, rng):
+    from ecg_representation_learning_tpu.data import ShardedRecordStream
+    paths = []
+    for i in range(3):
+        p = write_combined_hdf5(str(tmp_path / f's{i}.hdf5'),
+                                rng.standard_normal((20, 2, 32)).astype(np.float32))
+        paths.append(p)
+    stream = ShardedRecordStream(paths, batch_size=8)
+    batches = list(stream)
+    assert len(batches) == 6  # 3 shards x floor(20/8)=2
+    assert all(b.shape == (8, 2, 32) for b in batches)

@@ -1,0 +1,81 @@
+"""Metric parity vs sklearn (the reference's metric backend, util/train.py)."""
+import numpy as np
+import jax.numpy as jnp
+import sklearn.metrics as skm
+
+from ecg_representation_learning_tpu.train import binary_stats, get_accuracy, multilabel_auroc, roc_auc
+
+
+def test_roc_auc_matches_sklearn(rng):
+    for _ in range(10):
+        scores = rng.standard_normal(200)
+        labels = (rng.uniform(size=200) > 0.7).astype(int)
+        if labels.sum() in (0, 200):
+            continue
+        np.testing.assert_allclose(roc_auc(scores, labels),
+                                   skm.roc_auc_score(labels, scores), atol=1e-10)
+
+
+def test_roc_auc_with_ties(rng):
+    scores = np.round(rng.standard_normal(300), 1)  # heavy ties
+    labels = (rng.uniform(size=300) > 0.5).astype(int)
+    np.testing.assert_allclose(roc_auc(scores, labels),
+                               skm.roc_auc_score(labels, scores), atol=1e-10)
+
+
+def test_roc_auc_degenerate():
+    assert np.isnan(roc_auc(np.ones(5), np.ones(5)))
+    assert np.isnan(roc_auc(np.ones(5), np.zeros(5)))
+
+
+def test_binary_stats_match_sklearn(rng):
+    probs = rng.uniform(size=(64, 71)).astype(np.float32)
+    labels = (rng.uniform(size=(64, 71)) > 0.9).astype(np.float32)
+    got = {k: float(v) for k, v in binary_stats(jnp.asarray(probs),
+                                                jnp.asarray(labels)).items()}
+    preds = (probs >= 0.5).astype(np.float32).flatten()
+    flat = labels.flatten()
+    np.testing.assert_allclose(got['binary_accuracy'],
+                               skm.accuracy_score(flat, preds), atol=1e-6)
+    np.testing.assert_allclose(got['weighted_binary_accuracy'],
+                               skm.balanced_accuracy_score(flat, preds), atol=1e-6)
+    rep = skm.classification_report(flat, preds, labels=[0, 1], output_dict=True,
+                                    zero_division=0)
+    # note: the reference passes (preds, labels) into classification_report in
+    # that order (util/train.py:46-47) so its 'recall' is actually precision
+    # w.r.t. sklearn conventions; we report true recalls of the label classes
+    np.testing.assert_allclose(got['binary_positive_recall'], rep['1']['recall'], atol=1e-6)
+    np.testing.assert_allclose(got['binary_negative_recall'], rep['0']['recall'], atol=1e-6)
+
+
+def test_multilabel_auroc_mask_and_macro(rng):
+    probs = rng.uniform(size=(32, 71))
+    labels = np.zeros((32, 71), np.float32)
+    labels[:, 3] = (rng.uniform(size=32) > 0.5)   # valid class
+    labels[:, 7] = 1.0                            # constant column -> masked
+    out = multilabel_auroc(probs, labels)
+    assert out['per_class_auc'] is not None
+    codes = set(out['per_class_auc'].keys())
+    from ecg_representation_learning_tpu.registry import PTBXL_ID2CODE
+    assert PTBXL_ID2CODE[3] in codes
+    assert PTBXL_ID2CODE[7] not in codes
+    want = skm.roc_auc_score(labels[:, 3], probs[:, 3])
+    np.testing.assert_allclose(out['per_class_auc'][PTBXL_ID2CODE[3]], want, atol=1e-10)
+    np.testing.assert_allclose(out['macro_auc'],
+                               np.mean(list(out['per_class_auc'].values())), atol=1e-12)
+
+
+def test_multilabel_auroc_all_constant():
+    probs = np.random.uniform(size=(8, 71))
+    labels = np.zeros((8, 71), np.float32)
+    out = multilabel_auroc(probs, labels)
+    assert out['macro_auc'] is None
+
+
+def test_get_accuracy_payload(rng):
+    probs = rng.uniform(size=(16, 71)).astype(np.float32)
+    labels = (rng.uniform(size=(16, 71)) > 0.8).astype(np.float32)
+    out = get_accuracy(probs, labels)
+    for k in ('binary_accuracy', 'weighted_binary_accuracy', 'binary_positive_recall',
+              'binary_negative_recall', 'macro_auc', 'per_class_auc'):
+        assert k in out

@@ -1,0 +1,122 @@
+"""Trainer integration tests: loss goes down, early stopping, checkpoints,
+schedules -- on the synthetic PTB-XL-shaped corpus, 8-device CPU mesh."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+from ecg_representation_learning_tpu.train import SplitData, Trainer, make_schedule
+from ecg_representation_learning_tpu.parallel import make_mesh
+
+
+def small_setup(tmp_path, n=192, epochs=2, **cfg_kwargs):
+    signals, labels, folds = synth_ptbxl(n=n, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    kwargs = dict(num_train_epoch=epochs, train_batch_size=32,
+                  eval_batch_size=32, learning_rate=1e-3)
+    kwargs.update(cfg_kwargs)
+    train_cfg = TrainConfig(**kwargs)
+    tr = Trainer(model_cfg, train_cfg, train_data=splits.train,
+                 eval_data=splits.eval, output_dir=str(tmp_path / 'run'))
+    return tr, splits
+
+
+def test_schedules():
+    cfg = TrainConfig(schedule='cosine', learning_rate=3e-4, warmup_ratio=0.05)
+    s = make_schedule(cfg, 1000)
+    assert float(s(0)) < 1e-5
+    np.testing.assert_allclose(float(s(50)), 3e-4, rtol=1e-5)  # peak at warmup end
+    assert float(s(999)) < 1e-5                                # decayed to ~0
+    c = make_schedule(TrainConfig(schedule='constant'), 1000)
+    np.testing.assert_allclose(float(c(999)), 3e-4, rtol=1e-5)
+
+
+def test_training_reduces_loss(tmp_path):
+    tr, splits = small_setup(tmp_path, n=192, epochs=2)
+    result = tr.train()
+    assert result['epochs'] == 2
+    assert len(result['history']) == 2
+    first, last = result['history'][0]['loss'], result['history'][-1]['loss']
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < 0.75  # BCE falls well below the ~0.7 init on synthetic data
+    # macro-AUROC computed and plausible
+    assert result['history'][-1]['macro_auc'] is not None
+
+
+def test_eval_per_sample_loss(tmp_path):
+    tr, splits = small_setup(tmp_path, n=96, epochs=1)
+    tr.init_state()
+    out = tr.evaluate(splits.test, loss_reduction='none', return_predictions=True)
+    n_test = len(splits.test)
+    assert out['per_sample_loss'].shape == (n_test,)
+    assert out['predictions']['probs'].shape == (n_test, 71)
+    np.testing.assert_allclose(out['per_sample_loss'].mean(), out['loss'], rtol=1e-5)
+
+
+def test_checkpoint_exact_resume(tmp_path):
+    tr, splits = small_setup(tmp_path, n=96, epochs=1, do_eval=False)
+    tr.train()
+    step0 = int(tr.state.step)
+    path = tr.save_checkpoint(tag='resume-test')
+
+    tr2, _ = small_setup(tmp_path, n=96, epochs=1, do_eval=False)
+    tr2.init_state(seed=123)  # different init
+    tr2.load_checkpoint(path)
+    assert int(tr2.state.step) == step0
+    for a, b in zip(jax.tree.leaves(tr.state.params), jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr.state.opt_state), jax.tree.leaves(tr2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # evaluation after restore must match exactly
+    e1 = tr.evaluate(splits.eval)
+    e2 = tr2.evaluate(splits.eval)
+    np.testing.assert_allclose(e1['loss'], e2['loss'], rtol=1e-6)
+
+
+def test_early_stopping(tmp_path):
+    # lr=0 -> eval loss never improves after the first epoch -> patience kicks in
+    tr, _ = small_setup(tmp_path, n=96, epochs=10, learning_rate=0.0, patience=2)
+    result = tr.train()
+    assert result['epochs'] <= 4  # stopped long before 10
+
+
+def test_data_parallel_8dev(tmp_path):
+    mesh = make_mesh(n_data=8, n_model=1)
+    signals, labels, folds = synth_ptbxl(n=128, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=32, eval_batch_size=32)
+    tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
+                 mesh=mesh, output_dir=str(tmp_path / 'dp'))
+    res = tr.train()
+    assert np.isfinite(res['history'][-1]['loss'])
+
+
+def test_tensor_parallel_mesh(tmp_path):
+    # DP x TP: 4 x 2 mesh; qkv/mlp kernels sharded over 'model'
+    mesh = make_mesh(n_data=4, n_model=2)
+    signals, labels, folds = synth_ptbxl(n=96, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=16, eval_batch_size=16,
+                      mesh_model=2)
+    tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
+                 mesh=mesh, output_dir=str(tmp_path / 'tp'))
+    tr.init_state()
+    # verify the sharding rules actually placed shards over 'model'
+    from ecg_representation_learning_tpu.parallel import param_shardings
+    sh = param_shardings(tr.state.params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    specs = {'/'.join(getattr(k, 'key', str(k)) for k in kp): v.spec for kp, v in flat}
+    qkv = [v for k, v in specs.items() if 'qkv/kernel' in k]
+    assert all(tuple(s) == (None, 'model') for s in qkv) and qkv
+    res = tr.train()
+    assert np.isfinite(res['history'][-1]['loss'])
