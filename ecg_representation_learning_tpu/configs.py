@@ -113,6 +113,8 @@ class TrainConfig:
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end
     seed: int = 77                      # reference config.json 'random-seed'
+    debug_nans: bool = True             # stop on non-finite grads (reference
+                                        # error_if_nonfinite grad-clip, train.py:281)
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
     mesh_data: int = 1                  # data-parallel axis size
     mesh_model: int = 1                 # model (TP/FSDP) axis size

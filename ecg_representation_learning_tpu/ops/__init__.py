@@ -7,6 +7,9 @@ from .filter import butter_lowpass_design, butterworth_low_pass, filtfilt_fir, f
 from .resample import resample_fft, resample_poly, resample_to
 from .loess import remove_baseline, rloess
 from .nlm import est_noise_std, nlm
+from .nlm_pallas import nlm_pallas
+from .attention import attention, flash_attention
+from .filter import fir_correlate_matmul
 from .normalize import NormStats, apply_norms, fit_dynamic_norm, normalize_fixed
 from .pad import pad_to_multiple, time_end_pad
 from .augment import timeout
@@ -17,7 +20,8 @@ __all__ = [
     'lfilter', 'odd_ext',
     'resample_fft', 'resample_poly', 'resample_to',
     'remove_baseline', 'rloess',
-    'est_noise_std', 'nlm',
+    'est_noise_std', 'nlm', 'nlm_pallas',
+    'attention', 'flash_attention', 'fir_correlate_matmul',
     'NormStats', 'apply_norms', 'fit_dynamic_norm', 'normalize_fixed',
     'pad_to_multiple', 'time_end_pad',
     'timeout',

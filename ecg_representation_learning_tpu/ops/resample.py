@@ -105,6 +105,14 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     hp = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
     K = len(hp)
 
+    if up == 1:
+        # pure decimation (e.g. 500->250): framed Toeplitz matmul on the MXU
+        # (see ops.filter.fir_correlate_matmul) instead of a feature-dim-1 conv
+        from .filter import fir_correlate_matmul
+        xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(K - 1, K - 1)])
+        y = fir_correlate_matmul(xpad, hp[::-1].copy(), stride=down)
+        return y[..., n_pre_remove:n_pre_remove + n_out]
+
     lead_shape = x.shape[:-1]
     flat = x.reshape((-1, 1, n_in))
     kern = jnp.asarray(hp[::-1].copy(), x.dtype).reshape((1, 1, K))

@@ -276,3 +276,53 @@ PTBXL_TRAIN_STATS: Dict[str, Dict[str, Tuple[float, ...]]] = {
 # (reference DataExport.m:46-54, transform.py:289).
 PTBXL_BROKEN_RECORD_ROW = 12721
 PTBXL_BROKEN_RECORD_LEAD = 10  # 0-indexed lead V5 slot in the reference note
+
+
+def config(dotted_key: str):
+    """Dot-path accessor over the registry, mirroring the reference's
+    ``config('a.b.c')`` API (util/util.py:87-96) for drop-in familiarity.
+
+    Supported roots: ``datasets.<KEY>.<field>``, ``datasets.PTB-XL.code.*``,
+    ``datasets.PTB-XL.train-stats.*``, ``pre_processing.zheng.*``,
+    ``datasets-export.*``, ``random-seed``.
+    """
+    parts = dotted_key.split('.')
+    root = {
+        'datasets': _config_datasets,
+        'datasets-export': lambda: {'total': list(EXPORT_DATASETS),
+                                    'support_wfdb': list(WFDB_DATASETS)},
+        'pre_processing': lambda: {'zheng': {
+            'low_pass': dataclasses.asdict(LOW_PASS),
+            'nlm': {'smooth_factor': NLM.smooth_factor,
+                    'window_size': NLM.window_size}}},
+        'random-seed': lambda: RANDOM_SEED,
+    }
+    if parts[0] not in root:
+        raise KeyError(dotted_key)
+    node = root[parts[0]]()
+    for p in parts[1:]:
+        node = node[p]
+    return node
+
+
+def _config_datasets():
+    out = {}
+    for key, meta in DATASETS.items():
+        d = {k: v for k, v in dataclasses.asdict(meta).items() if v is not None}
+        d['nm'] = d.pop('name')
+        d['dir_nm'] = d.pop('dir_name')
+        out[key] = d
+    out['PTB-XL']['code'] = {
+        'id2code': list(PTBXL_ID2CODE),
+        'code2id': dict(PTBXL_CODE2ID),
+        'form-codes': list(PTBXL_FORM_CODES),
+        'rhythm-codes': list(PTBXL_RHYTHM_CODES),
+        'diagnostic-class2sub-class2code': {
+            sup: {sub: list(cs) for sub, cs in subs.items()}
+            for sup, subs in PTBXL_DIAGNOSTIC_TAXONOMY.items()},
+        'diagnostic-sub-class2description': dict(PTBXL_SUBCLASS_DESCRIPTION),
+    }
+    out['PTB-XL']['train-stats'] = {
+        t: {k: list(v) for k, v in d.items()}
+        for t, d in PTBXL_TRAIN_STATS.items()}
+    return out

@@ -24,7 +24,7 @@ import datetime
 import functools
 import os
 import time
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple, Union
 
 import flax.struct
 import jax
@@ -151,6 +151,7 @@ class Trainer:
                 return out.loss, out.logits
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grad_norm = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -158,7 +159,7 @@ class Trainer:
                                    opt_state=opt_state, rng=rng)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             metrics = {'loss': loss, 'learning_rate': self.schedule(state.step),
-                       **binary_stats(probs, lab)}
+                       'grad_norm': grad_norm, **binary_stats(probs, lab)}
             return new_state, metrics, probs
 
         def eval_step(params, sig, lab):
@@ -189,9 +190,25 @@ class Trainer:
                 take = np.concatenate([take, np.zeros(batch_size - n_real, np.int64)])
             yield data.signals[take], data.labels[take], n_real
 
-    def train(self) -> Dict[str, Any]:
+    def latest_checkpoint(self) -> Optional[str]:
+        """Most recent ``ckpt-*`` under output_dir (crash-recovery restart)."""
+        import glob as globlib
+        cands = [p for p in globlib.glob(os.path.join(self.output_dir, 'ckpt-*'))
+                 if os.path.isdir(p)]
+        return max(cands, key=os.path.getmtime) if cands else None
+
+    def train(self, resume: Union[bool, str] = False) -> Dict[str, Any]:
+        """Run the training loop.  ``resume``: True restarts from the latest
+        checkpoint in output_dir if one exists (checkpoint-based failure
+        recovery -- the reference had none, SURVEY.md §5); a string restores
+        that specific checkpoint path."""
         cfg = self.cfg
         os.makedirs(self.output_dir, exist_ok=True)
+        if resume:
+            path = resume if isinstance(resume, str) else self.latest_checkpoint()
+            if path:
+                self.load_checkpoint(path)
+                self.logger.info(f'Resumed from {path} (epoch {self.epoch})')
         self.logger_fl = get_logger(f'{self.name} TrainFile',
                                     file_path=os.path.join(self.output_dir, 'train.log'))
         self.tb = TbWriter(os.path.join(self.output_dir, 'tb'))
@@ -220,6 +237,11 @@ class Trainer:
                 if (not cfg.log_per_epoch) or step % self.steps_per_epoch == 0:
                     payload = {f'train/{k}': float(v) for k, v in metrics.items()}
                     payload.update(epoch=self.epoch, step=step)
+                    if cfg.debug_nans and not np.isfinite(payload['train/grad_norm']):
+                        # reference grad-clip error_if_nonfinite (train.py:281);
+                        # checked at log points to avoid a per-step device sync
+                        raise FloatingPointError(
+                            f'non-finite gradient norm at step {step}')
                     self._log(payload)
             if cfg.save_every_n_epoch and self.epoch % cfg.save_every_n_epoch == 0:
                 self.save_checkpoint(tag=f'ep{self.epoch}')

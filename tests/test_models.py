@@ -16,12 +16,12 @@ from ecg_representation_learning_tpu.models import (
 from ecg_representation_learning_tpu.ops.attention import _attn_reference, flash_attention
 
 
-CFG = VitConfig.from_defined('debug', use_flash_attention=False)  # XLA path on CPU tests
+CFG = VitConfig.from_defined('debug', max_signal_length=640, use_flash_attention=False)  # XLA path on CPU tests
 
 
 def test_forward_shapes_and_loss(rng):
     model, params = create_vit(CFG, jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.standard_normal((4, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 12, 640)), dtype=jnp.float32)
     labels = np.zeros((4, 71), np.float32)
     labels[[0, 0, 1, 2, 3, 3, 3], [0, 1, 2, 3, 4, 5, 6]] = 1
     out = model.apply(params, x, labels=jnp.asarray(labels))
@@ -34,7 +34,7 @@ def test_forward_shapes_and_loss(rng):
 
 def test_loss_reduction_none(rng):
     model, params = create_vit(CFG, jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.standard_normal((3, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 12, 640)), dtype=jnp.float32)
     labels = jnp.zeros((3, 71))
     out = model.apply(params, x, labels=labels, loss_reduction='none')
     assert out.loss.shape == (3,)
@@ -58,18 +58,23 @@ def test_bce_matches_torch_semantics(rng):
 
 def test_size_ladder_param_counts():
     # monotone ladder; base ~ vit-base scale (~85M + patch/head extras)
+    # eval_shape: exact param shapes without compiling an init program
     counts = {}
-    for size in ('debug', 'tiny', 'base'):
+    for size in ('debug', 'tiny', 'small', 'base', 'large'):
         cfg = VitConfig.from_defined(size)
-        _, params = create_vit(cfg, jax.random.PRNGKey(0))
-        counts[size] = param_count(params)
-    assert counts['debug'] < counts['tiny'] < counts['base']
+        model = EcgVit(cfg)
+        dummy = jnp.zeros((1, 12, cfg.max_signal_length), jnp.float32)
+        shapes = jax.eval_shape(lambda: model.init({'params': jax.random.PRNGKey(0)},
+                                                   dummy))
+        counts[size] = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert (counts['debug'] < counts['tiny'] < counts['small']
+            < counts['base'] < counts['large'])
     assert 80e6 < counts['base'] < 100e6
 
 
 def test_gradients_flow(rng):
     model, params = create_vit(CFG, jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.standard_normal((2, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 640)), dtype=jnp.float32)
     labels = jnp.zeros((2, 71))
 
     def loss_fn(p):
@@ -85,7 +90,7 @@ def test_gradients_flow(rng):
 
 def test_dropout_changes_train_outputs(rng):
     model, params = create_vit(CFG, jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.standard_normal((2, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 640)), dtype=jnp.float32)
     o1 = model.apply(params, x, deterministic=False,
                      rngs={'dropout': jax.random.PRNGKey(1)}).logits
     o2 = model.apply(params, x, deterministic=False,
@@ -97,10 +102,10 @@ def test_dropout_changes_train_outputs(rng):
 
 def test_attention_maps_shape(rng):
     model, params = create_vit(CFG, jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.standard_normal((2, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 640)), dtype=jnp.float32)
     out = model.apply(params, x, return_attention=True)
     L, B, H, T, T2 = out.attention.shape
-    assert (L, B, H, T, T2) == (4, 2, 4, 41, 41)
+    assert (L, B, H, T, T2) == (4, 2, 4, 11, 11)
     probs = np.asarray(out.attention)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
 
@@ -131,9 +136,9 @@ def test_flash_attention_grad_parity(rng):
 # MAE
 # ---------------------------------------------------------------------------
 def test_patchify_roundtrip(rng):
-    x = jnp.asarray(rng.standard_normal((2, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 640)), dtype=jnp.float32)
     p = patchify(x, 64)
-    assert p.shape == (2, 40, 12 * 64)
+    assert p.shape == (2, 10, 12 * 64)
     np.testing.assert_array_equal(np.asarray(unpatchify(p, 12, 64)), np.asarray(x))
 
 
@@ -151,14 +156,15 @@ def test_random_masking_static_shapes():
 
 
 def test_mae_forward_and_grads(rng):
-    cfg = VitConfig.from_defined('debug', use_flash_attention=False)
+    cfg = VitConfig.from_defined('debug', max_signal_length=640,
+                                 use_flash_attention=False)
     mae_cfg = MaeConfig(decoder_hidden_size=64, decoder_num_layers=1,
                         decoder_num_heads=4, decoder_intermediate_size=128)
     model = EcgMae(cfg, mae_cfg)
-    x = jnp.asarray(rng.standard_normal((2, 12, 2560)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 640)), dtype=jnp.float32)
     params = model.init({'params': jax.random.PRNGKey(0), 'mask': jax.random.PRNGKey(1)}, x)
     out = model.apply(params, x, rngs={'mask': jax.random.PRNGKey(2)})
-    assert out.pred.shape == (2, 40, 12 * 64)
+    assert out.pred.shape == (2, 10, 12 * 64)
     assert np.isfinite(float(out.loss))
 
     def loss_fn(p):
