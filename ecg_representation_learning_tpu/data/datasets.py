@@ -94,6 +94,35 @@ def labels_to_multi_hot(labels: Sequence[Sequence[int]],
     return out
 
 
+def export_ptbxl_labels(database_csv: str, out_csv: str) -> str:
+    """Build the ``ptb-xl-labels.csv`` index from ``ptbxl_database.csv``
+    (reference export_ptbxl_labels, ptb_dataset.py:28-50): every key of each
+    record's ``scp_codes`` is a binary label; likelihoods are ignored."""
+    import pandas as pd
+    df = pd.read_csv(database_csv,
+                     usecols=['ecg_id', 'patient_id', 'scp_codes', 'strat_fold'],
+                     index_col=0)
+    df['patient_id'] = df['patient_id'].astype(int)
+    df['labels'] = df['scp_codes'].apply(lambda s: str(parse_scp_codes(s)))
+    out = df[['patient_id', 'strat_fold', 'labels']]
+    os.makedirs(os.path.dirname(out_csv) or '.', exist_ok=True)
+    out.to_csv(out_csv)
+    return out_csv
+
+
+def compute_train_stats(signals: np.ndarray, strat_fold: np.ndarray
+                        ) -> Dict[str, List[float]]:
+    """Per-lead mean/std over the train split (folds 1-8) -- the generator of
+    the registry's PTBXL_TRAIN_STATS (reference set_ptbxl_train_stats,
+    config.py:296-308).  Run this after exporting a new corpus/type."""
+    tr, _, _ = split_by_strat_fold(np.asarray(strat_fold))
+    arr = np.asarray(signals[tr], np.float64)
+    return {
+        'mean': np.nanmean(arr, axis=(0, 2)).tolist(),
+        'std': np.nanstd(arr, axis=(0, 2)).tolist(),
+    }
+
+
 @dataclasses.dataclass
 class PtbxlSplits:
     """train/eval/test splits (reference PtbxlSplitDatasets namedtuple)."""

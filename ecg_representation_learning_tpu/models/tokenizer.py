@@ -97,6 +97,56 @@ def nearest_centroid(x: jnp.ndarray, centers: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Pluggable clustering backends (reference cluster()/cluster_args,
+# ecg_tokenizer.py:20-85: hierarchical / dbscan / optics / birch / kmeans with
+# a per-method threshold keyword).  kmeans runs on-device (above); the others
+# are host-side sklearn, kept for parity with the exploratory track.
+# ---------------------------------------------------------------------------
+CLUSTER_THRESHOLD_KEY = {          # reference D_CLS_TH (ecg_tokenizer.py:72-78)
+    'hierarchical': 'distance_threshold',
+    'dbscan': 'eps',
+    'optics': 'max_eps',
+    'birch': 'threshold',
+    'kmeans': 'n_clusters',
+}
+
+
+def cluster(data: np.ndarray, method: str = 'kmeans', seed: int = 77,
+            n_iter: int = 64, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster (N, D) points -> (centers (K, D), labels (N,)).
+
+    kmeans uses the jnp/MXU implementation; other methods dispatch to sklearn
+    (label -1 noise points from DBSCAN/OPTICS are dropped from the codebook).
+    """
+    if method == 'kmeans':
+        k = kwargs.pop('n_clusters')
+        centers, _, _ = kmeans_fit(jax.random.PRNGKey(seed),
+                                   jnp.asarray(data, jnp.float32), k=k,
+                                   n_iter=n_iter)
+        ids, _ = nearest_centroid(jnp.asarray(data, jnp.float32), centers)
+        return np.asarray(centers), np.asarray(ids)
+
+    import sklearn.cluster as skc
+    factories = {
+        'hierarchical': lambda: skc.AgglomerativeClustering(
+            n_clusters=None, linkage='average', **kwargs),
+        'dbscan': lambda: skc.DBSCAN(min_samples=kwargs.pop('min_samples', 5), **kwargs),
+        'optics': lambda: skc.OPTICS(min_samples=kwargs.pop('min_samples', 5), **kwargs),
+        'birch': lambda: skc.Birch(n_clusters=None, **kwargs),
+    }
+    if method not in factories:
+        raise ValueError(f'Unknown clustering method {method!r}')
+    model = factories[method]().fit(np.asarray(data))
+    labels = np.asarray(model.labels_)
+    uniq = np.unique(labels[labels >= 0])
+    centers = np.stack([data[labels == u].mean(axis=0) for u in uniq]) \
+        if uniq.size else np.zeros((0, data.shape[1]), data.dtype)
+    remap = {int(u): i for i, u in enumerate(uniq)}
+    ids = np.asarray([remap.get(int(l), -1) for l in labels])
+    return centers.astype(np.float32), ids
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer object
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
@@ -121,21 +171,24 @@ class EcgTokenizer:
         return segs - means, means, lead_shape + (n_seg_per,)
 
     def fit(self, sigs: np.ndarray, method: str = 'kmeans', n_clusters: int = 256,
-            n_iter: int = 64, seed: int = 77) -> 'EcgTokenizer':
+            n_iter: int = 64, seed: int = 77, **cluster_kwargs) -> 'EcgTokenizer':
         """Fit the codebook on (N, C, L) signals (reference fit,
-        ecg_tokenizer.py:352-508; only the practical kmeans backend is kept --
-        sklearn's hierarchical/DBSCAN/OPTICS/Birch variants were exploratory)."""
-        assert method == 'kmeans', 'TPU backend implements kmeans (see docstring)'
+        ecg_tokenizer.py:352-508).  ``method``: 'kmeans' (jnp/MXU fast path)
+        or the sklearn backends 'hierarchical'/'dbscan'/'optics'/'birch'
+        (host-side, the exploratory track); per-method threshold kwargs as in
+        :data:`CLUSTER_THRESHOLD_KEY`."""
         segs, _, _ = self._segment(sigs)
-        centers, counts, _ = kmeans_fit(jax.random.PRNGKey(seed), segs,
-                                        k=n_clusters, n_iter=n_iter)
-        counts_np = np.asarray(counts)
+        if method == 'kmeans':
+            cluster_kwargs['n_clusters'] = n_clusters
+        centers, ids = cluster(np.asarray(segs), method=method, seed=seed,
+                               n_iter=n_iter, **cluster_kwargs)
+        counts_np = np.bincount(ids[ids >= 0], minlength=centers.shape[0]).astype(np.int64)
         order = np.argsort(-counts_np)  # sort by cluster size, descending
         self.centers = np.asarray(centers)[order]
         self.lens = counts_np[order]
         self.fit_method = method
         self.n_sig = int(sigs.shape[0])
-        self.cls_th = n_clusters
+        self.cls_th = cluster_kwargs.get(CLUSTER_THRESHOLD_KEY.get(method), n_clusters)
         return self
 
     def _filtered_codebook(self, th: Optional[Union[int, float]]

@@ -103,6 +103,68 @@ class MaeTrainer:
             self._train_step = jax.jit(train_step, donate_argnums=(0,),
                                        in_shardings=(None, bsharding))
 
+    def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
+                     log_every: int = 50) -> Dict[str, Any]:
+        """Streaming pretrain over an iterator of raw (B, C, L) host batches
+        (e.g. :class:`data.pipeline.ShardedRecordStream` over CinC21 +
+        MIMIC-IV-ECG shards -- BASELINE.json config 5).
+
+        ``raw_fqs``: when given, batches are raw recordings at that rate and
+        the fused resample+lowpass+normalize pipeline runs on device inside
+        the jitted step (on-the-fly preprocessing, never input-bound); when
+        None, batches are already on the 250 Hz grid and only normalize+pad
+        apply.
+        """
+        import itertools
+
+        from ..ops.preprocess import fused_train_path
+        from ..utils.misc import StepTimer
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
+        bsharding = batch_sharding(self.mesh)
+
+        def stream_step(state: TrainState, sig):
+            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+            sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            if raw_fqs is not None and raw_fqs != 250:
+                sig = fused_train_path(sig, mean, std, fqs=raw_fqs,
+                                       target_fqs=250, patch_size=patch)
+                sig = sig[..., :self.model_cfg.max_signal_length]
+            else:
+                sig = _prep_batch(sig, mean, std, patch, train=False)
+
+            def loss_fn(params):
+                out = self.model.apply(params, sig, deterministic=False,
+                                       rngs={'mask': mask_rng, 'dropout': do_rng})
+                return out.loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state, rng=rng), loss
+
+        with self.mesh:
+            step_fn = jax.jit(stream_step, donate_argnums=(0,),
+                              in_shardings=(None, bsharding))
+        timer = StepTimer()
+        last_loss = float('nan')
+        for i, batch in enumerate(itertools.islice(batches, total_steps)):
+            sig = jnp.asarray(batch)
+            timer.input_done()
+            with self.mesh:
+                self.state, loss = step_fn(self.state, sig)
+            timer.step_done()
+            if (i + 1) % log_every == 0 or i + 1 == total_steps:
+                last_loss = float(loss)
+                self.logger.info({'pretrain/loss': last_loss, 'step': int(self.state.step),
+                                  **timer.summary()})
+        return {'loss': last_loss, 'steps': int(self.state.step),
+                'timer': timer.summary()}
+
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         os.makedirs(self.output_dir, exist_ok=True)
