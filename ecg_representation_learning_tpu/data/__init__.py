@@ -7,6 +7,8 @@ from .datasets import (
 from .readers import BulkHdf5Reader, read_csv_record, read_header, read_many, read_record
 from .export import export_combined, export_denoised, export_records_csv, get_rec_paths
 from .pipeline import ShardedRecordStream, device_batches, prefetch_to_device
+from .datasets import compute_train_stats, export_ptbxl_labels
+from .torch_adapter import TorchPtbxlDataset, as_torch_dataset
 
 __all__ = [
     'EcgDataset', 'PtbxlSplits', 'get_ptbxl_splits', 'labels_to_multi_hot',
@@ -15,4 +17,6 @@ __all__ = [
     'BulkHdf5Reader', 'read_csv_record', 'read_header', 'read_many', 'read_record',
     'export_combined', 'export_denoised', 'export_records_csv', 'get_rec_paths',
     'ShardedRecordStream', 'device_batches', 'prefetch_to_device',
+    'compute_train_stats', 'export_ptbxl_labels',
+    'TorchPtbxlDataset', 'as_torch_dataset',
 ]

@@ -179,6 +179,39 @@ def fir_correlate_matmul(x: jnp.ndarray, taps: np.ndarray, stride: int = 1,
     return out.reshape(x.shape[:-1] + (n_blk * block,))[..., :n_out]
 
 
+def fir_correlate_matmul_multi(x: jnp.ndarray, taps: np.ndarray,
+                               block: int = 256) -> jnp.ndarray:
+    """Valid-mode correlation against M tap vectors at once:
+    ``y[n, m] = sum_k taps[m, k] x[n + k]``.
+
+    Same framed-Toeplitz trick as :func:`fir_correlate_matmul` but with an
+    (window, block, M) banded tensor, one einsum for all M outputs --
+    used by the LOESS moment sums (8 kernels over the same window).
+    ``x``: (..., L); returns (..., n_out, M) with n_out = L - K + 1.
+    """
+    taps = np.asarray(taps)
+    M, K = taps.shape
+    L = x.shape[-1]
+    n_out = L - K + 1
+    n_blk = -(-n_out // block)
+    window = block - 1 + K
+    pad_needed = (n_blk - 1) * block + window - L
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad_needed, 0))])
+    idx = (np.arange(n_blk)[:, None] * block + np.arange(window)[None, :])
+    frames = xp[..., idx]                                   # (..., n_blk, W)
+    w_idx = np.arange(window)[:, None]
+    j_idx = np.arange(block)[None, :]
+    d = w_idx - j_idx                                       # (W, block)
+    valid = (d >= 0) & (d < K)
+    T = np.where(valid[..., None],
+                 taps.T[np.clip(d, 0, K - 1)], 0.0)         # (W, block, M)
+    T_j = jnp.asarray(T, x.dtype)
+    out = jnp.einsum('...bw,wjm->...bjm', frames, T_j,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(x.shape[:-1] + (n_blk * block, M))
+    return out[..., :n_out, :]
+
+
 def filtfilt_fir(b, a, x: jnp.ndarray, tol: float = 1e-8) -> jnp.ndarray:
     """Fast zero-phase filter: symmetric-FIR surrogate applied as a framed
     Toeplitz matmul on the MXU (see :func:`fir_correlate_matmul`).

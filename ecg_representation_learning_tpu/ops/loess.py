@@ -74,25 +74,25 @@ def _interior_smooth(y: jnp.ndarray, rw: jnp.ndarray, n: int,
     """LOESS values for interior points i in [half, L-half).
 
     y, rw: (..., L).  Returns (..., L - 2*half).
+
+    The eight moment sums are correlations against fixed kernels over the
+    same window; one multi-output framed-Toeplitz matmul computes all of
+    them on the MXU (ops.filter.fir_correlate_matmul_multi) -- the
+    feature-dim-1 conv alternative runs ~100x slower on the VPU.  (Odd-power
+    kernels enter with either sign convention: mirroring u -> -u leaves the
+    fitted intercept beta0 unchanged.)
     """
+    from .filter import fir_correlate_matmul_multi
     half = (n - 1) // 2
     kerns = _interior_kernels(n)  # (5, n)
-    dt = y.dtype
-    # two input channels: rw and rw*y; 8 outputs = S0..S4, T0..T2
     lead_shape = y.shape[:-1]
     L = y.shape[-1]
-    x2 = jnp.stack([rw, rw * y], axis=-2).reshape((-1, 2, L))  # (B, 2, L)
-    # kernel layout (O, I, K): outputs 0..4 from channel 0 (S_k), 5..7 from channel 1 (T_k)
-    kern = np.zeros((8, 2, n))
-    kern[0:5, 0, :] = kerns
-    kern[5:8, 1, :] = kerns[0:3]
-    kern_j = jnp.asarray(kern[:, :, ::-1].copy(), dt)  # correlation -> flip for conv API
-    mom = jax.lax.conv_general_dilated(
-        x2.astype(dt), kern_j, window_strides=(1,), padding=[(0, 0)],
-        dimension_numbers=('NCH', 'OIH', 'NCH'),
-        precision=jax.lax.Precision.HIGHEST,  # moment sums need full f32
-    )  # (B, 8, L - n + 1)
-    s0, s1, s2, s3, s4, t0, t1, t2 = [mom[:, k] for k in range(8)]
+    flat_rw = rw.reshape((-1, L))
+    flat_ry = (rw * y).reshape((-1, L))
+    S = fir_correlate_matmul_multi(flat_rw, kerns)        # (B, n_out, 5)
+    T = fir_correlate_matmul_multi(flat_ry, kerns[:3])    # (B, n_out, 3)
+    s0, s1, s2, s3, s4 = [S[..., k] for k in range(5)]
+    t0, t1, t2 = [T[..., k] for k in range(3)]
     # Cramer's rule for [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]] beta = [t0,t1,t2]
     s0 = s0 + eps
     s2r = s2 + eps

@@ -106,6 +106,7 @@ class Trainer:
 
         self.state: Optional[TrainState] = None
         self.epoch = 0
+        self._host_step = 0  # mirrors state.step without device syncs
         self._train_step = None
         self._eval_step = None
         self.logger = get_logger(f'{name} Train')
@@ -233,7 +234,10 @@ class Trainer:
                 with self.mesh:
                     self.state, metrics, probs = self._train_step(
                         self.state, jnp.asarray(sig), jnp.asarray(lab))
-                step = int(self.state.step)
+                # host-side step counter: fetching state.step would sync the
+                # device every step (~35 ms on the tunneled platform)
+                self._host_step += 1
+                step = self._host_step
                 if (not cfg.log_per_epoch) or step % self.steps_per_epoch == 0:
                     payload = {f'train/{k}': float(v) for k, v in metrics.items()}
                     payload.update(epoch=self.epoch, step=step)
@@ -252,6 +256,7 @@ class Trainer:
                 eval_loss = eval_metrics['loss']
                 if eval_loss < best_eval_loss:
                     best_eval_loss, n_bad_ep = eval_loss, 0
+                    self.save_checkpoint(tag='best')  # PL save_top_k analog
                 else:
                     n_bad_ep += 1
                 if n_bad_ep >= cfg.patience:
@@ -312,6 +317,7 @@ class Trainer:
             self.init_state()
         self.state, extra = restore_checkpoint(path, self.state)
         self.epoch = int(extra.get('epoch', 0))
+        self._host_step = int(self.state.step)  # one sync at restore is fine
         return self.state
 
     # ----------------------------------------------------------------- logging
@@ -322,13 +328,12 @@ class Trainer:
         if self.logger_fl:
             self.logger_fl.info(str(pretty))
         if self.tb:
-            self.tb.log(payload, step=int(self.state.step) if self.state is not None else 0)
+            self.tb.log(payload, step=self._host_step)
 
     def _log_epoch(self, metrics: Dict[str, Any], prefix: str):
         payload = {f'{prefix}/{k}': v for k, v in metrics.items()
                    if k not in ('per_sample_loss', 'predictions', 'history')}
-        payload.update(epoch=self.epoch,
-                       step=int(self.state.step) if self.state is not None else 0)
+        payload.update(epoch=self.epoch, step=self._host_step)
         self._log(payload)
 
 
