@@ -32,6 +32,8 @@ def main():
     import jax.numpy as jnp
     from ecg_representation_learning_tpu.ops import fused_train_path
     from ecg_representation_learning_tpu.registry import PTBXL_TRAIN_STATS
+    from ecg_representation_learning_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     batch = 2048

@@ -219,9 +219,9 @@ def main(argv=None):
         flags = os.environ.get('XLA_FLAGS', '')
         os.environ['XLA_FLAGS'] = \
             f'{flags} --xla_force_host_platform_device_count={args.host_devices}'.strip()
-    if args.platform:
-        import jax
-        jax.config.update('jax_platforms', args.platform)
+    from .runtime import enable_compilation_cache, force_platform
+    force_platform(args.platform)
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -51,19 +51,23 @@ class ShardedRecordStream:
 
     def __init__(self, shard_paths: Sequence[str], batch_size: int,
                  seed: int = 77, dataset: str = 'data', drop_last: bool = True,
-                 loop: bool = False):
+                 loop: bool = False, dtype=np.float32):
+        """``dtype=None`` keeps the stored dtype -- e.g. int16 ADC-count shards
+        transferred raw and converted on device (train_stream wire_scale)."""
         assert shard_paths
         self.paths = list(shard_paths)
         self.batch_size = batch_size
         self.dataset = dataset
         self.drop_last = drop_last
         self.loop = loop
+        self.dtype = dtype
         self.rng = np.random.default_rng(seed)
 
     def _load_shard(self, path: str) -> np.ndarray:
         import h5py
         with h5py.File(path, 'r') as f:
-            return np.asarray(f[self.dataset], np.float32)
+            arr = np.asarray(f[self.dataset])
+            return arr if self.dtype is None else arr.astype(self.dtype)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:

@@ -104,7 +104,8 @@ class MaeTrainer:
                                        in_shardings=(None, bsharding))
 
     def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
-                     log_every: int = 50) -> Dict[str, Any]:
+                     log_every: int = 50,
+                     wire_scale: Optional[float] = None) -> Dict[str, Any]:
         """Streaming pretrain over an iterator of raw (B, C, L) host batches
         (e.g. :class:`data.pipeline.ShardedRecordStream` over CinC21 +
         MIMIC-IV-ECG shards -- BASELINE.json config 5).
@@ -114,6 +115,12 @@ class MaeTrainer:
         the jitted step (on-the-fly preprocessing, never input-bound); when
         None, batches are already on the 250 Hz grid and only normalize+pad
         apply.
+
+        ``wire_scale``: when set, batches may be integer ADC counts (e.g.
+        int16 straight from WFDB) and are converted to physical units on
+        device as ``counts / wire_scale`` -- halving host->HBM traffic, which
+        dominates on bandwidth-constrained hosts (StepTimer's input_fraction
+        shows when this matters).
         """
         import itertools
 
@@ -128,6 +135,8 @@ class MaeTrainer:
         def stream_step(state: TrainState, sig):
             rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            if wire_scale is not None:
+                sig = sig.astype(jnp.float32) / jnp.float32(wire_scale)
             if raw_fqs is not None and raw_fqs != 250:
                 sig = fused_train_path(sig, mean, std, fqs=raw_fqs,
                                        target_fqs=250, patch_size=patch)
