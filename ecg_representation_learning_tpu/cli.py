@@ -126,8 +126,43 @@ def cmd_evaluate(args):
         tr.load_checkpoint(args.checkpoint)
     results = evaluate_trained(tr, {'eval': splits.eval, 'test': splits.test},
                                out_dir=args.out)
+    if getattr(args, 'pick_edge_samples', False):
+        from .train.evaluate import pick_eval_eg
+        pick_eval_eg(tr, {'eval': splits.eval, 'test': splits.test},
+                     out_dir=args.out)
     print(json.dumps({k: v.get('macro_auc') for k, v in results.items()
                       if isinstance(v, dict)}))
+
+
+def cmd_visualize(args):
+    """Render an attention-rollout figure for one sample (reference
+    EcgVitVisualizer workflow, ecg_vit.py:164-265)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import numpy as np
+    import jax
+    from .configs import VitConfig, TrainConfig
+    from .registry import PTBXL_TRAIN_STATS
+    from .train import Trainer
+    from .utils import EcgVitVisualizer
+    splits = _load_splits(args)
+    model_cfg = VitConfig.from_defined(args.size)
+    tr = Trainer(model_cfg, TrainConfig(), eval_data=splits.eval,
+                 norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
+    tr.init_state()
+    if args.checkpoint:
+        tr.load_checkpoint(args.checkpoint)
+    data = {'eval': splits.eval, 'test': splits.test}[args.split]
+    sig = np.asarray(data.signals[args.index], np.float32)
+    # apply the same normalize+pad the model expects
+    mean = np.asarray(tr.mean).reshape(-1, 1)
+    std = np.asarray(tr.std).reshape(-1, 1)
+    sig = (sig - mean) / std
+    n_pad = model_cfg.patch_size - (sig.shape[-1] % model_cfg.patch_size)
+    sig = np.pad(sig, [(0, 0), (0, n_pad)])[:, :model_cfg.max_signal_length]
+    viz = EcgVitVisualizer(tr.model, tr.state.params)
+    path = viz(sig, data.labels[args.index], save=True)
+    print(json.dumps({'figure': path}))
 
 
 def cmd_tokenize(args):
@@ -181,7 +216,7 @@ def main(argv=None):
     pd_.set_defaults(fn=cmd_denoise)
 
     for name, fn in (('train', cmd_train), ('pretrain', cmd_pretrain),
-                     ('evaluate', cmd_evaluate)):
+                     ('evaluate', cmd_evaluate), ('visualize', cmd_visualize)):
         sp = sub.add_parser(name)
         _add_common_train_flags(sp)
         sp.add_argument('--hdf5', default=None)
@@ -192,9 +227,15 @@ def main(argv=None):
             sp.add_argument('--resume-from', default=None)
         if name == 'pretrain':
             sp.add_argument('--mask-ratio', type=float, default=0.75)
-        if name == 'evaluate':
+        if name in ('evaluate', 'visualize'):
             sp.add_argument('--checkpoint', default=None)
+        if name == 'evaluate':
             sp.add_argument('--out', default='eval')
+            sp.add_argument('--pick-edge-samples', action='store_true',
+                            help='also dump low/median/high-loss sample indices')
+        if name == 'visualize':
+            sp.add_argument('--split', default='test', choices=['eval', 'test'])
+            sp.add_argument('--index', type=int, default=0)
         sp.set_defaults(fn=fn)
 
     pt = sub.add_parser('tokenize')

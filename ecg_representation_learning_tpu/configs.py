@@ -32,6 +32,8 @@ class VitConfig:
     pool: str = 'cls'               # 'cls' | 'mean' (reference uses cls, ecg_vit.py:110)
     dtype: str = 'float32'          # compute dtype for activations ('bfloat16' on TPU)
     use_flash_attention: bool = True
+    remat: bool = False             # jax.checkpoint each block (memory for FLOPs
+                                    # -- long-record pretraining / large models)
     size: Optional[str] = None      # name from the ladder, if built via from_defined
 
     @property
@@ -115,6 +117,9 @@ class TrainConfig:
     seed: int = 77                      # reference config.json 'random-seed'
     debug_nans: bool = True             # stop on non-finite grads (reference
                                         # error_if_nonfinite grad-clip, train.py:281)
+    loss_weight: Optional[Tuple[float, float]] = None  # (w_neg, w_pos) per-element
+                                        # BCE weights by label value (reference
+                                        # EcgVit.loss_weight, ecg_vit.py:144-148)
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
     mesh_data: int = 1                  # data-parallel axis size
     mesh_model: int = 1                 # model (TP/FSDP) axis size

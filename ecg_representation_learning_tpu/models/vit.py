@@ -139,8 +139,13 @@ class EcgVitEncoder(nn.Module):
         h = nn.Dropout(cfg.attention_probs_dropout_prob)(h, deterministic=deterministic)
 
         attn_maps = []
+        block_cls = Block
+        if cfg.remat and not return_attention:
+            # rematerialize each block's activations in the backward pass
+            block_cls = nn.remat(Block, static_argnums=(2, 3))
         for i in range(cfg.num_hidden_layers):
-            h, probs = Block(cfg, name=f'block_{i}')(h, deterministic, return_attention)
+            h, probs = block_cls(cfg, name=f'block_{i}')(h, deterministic,
+                                                         return_attention)
             if return_attention:
                 attn_maps.append(probs)
         h = nn.LayerNorm(dtype=jnp.float32, name='final_norm')(h)

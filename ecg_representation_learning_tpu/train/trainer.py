@@ -148,6 +148,7 @@ class Trainer:
 
             def loss_fn(params):
                 out = model.apply(params, sig, labels=lab, deterministic=False,
+                                  loss_weight=cfg.loss_weight,
                                   rngs={'dropout': do_rng})
                 return out.loss, out.logits
 
