@@ -59,6 +59,13 @@ _SIG_LINE = re.compile(
 
 
 def read_header(hea_path: str) -> WfdbHeader:
+    """Parse a .hea header.
+
+    Note: some G12EC headers carry a record name that differs from the file
+    name (the reference ships a repair shim for this, data_export.py:18-30);
+    this parser keys everything off the actual file paths, so the mismatch is
+    harmless here -- no repair pass needed.
+    """
     with open(hea_path) as f:
         lines = [ln.strip() for ln in f
                  if ln.strip() and not ln.startswith('#')]

@@ -33,11 +33,17 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
     """Per-shard body: q, k, v are (B, H, T_local, D) local blocks."""
     n_dev = jax.lax.axis_size(axis_name)
     b, h, t, d = q.shape
-    # pvary: mark the initial accumulators as device-varying so the scan carry
-    # type matches the ppermute outputs (shard_map vma rules)
-    m0 = jax.lax.pvary(jnp.full((b, h, t, 1), NEG_INF, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, t, 1), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((b, h, t, d), jnp.float32), axis_name)
+    # mark the initial accumulators as device-varying so the scan carry type
+    # matches the ppermute outputs (shard_map vma rules)
+    def _vary(x):
+        pcast = getattr(jax.lax, 'pcast', None)
+        if pcast is not None:
+            return pcast(x, axis_name, to='varying')
+        return jax.lax.pvary(x, axis_name)
+
+    m0 = _vary(jnp.full((b, h, t, 1), NEG_INF, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, t, 1), jnp.float32))
+    acc0 = _vary(jnp.zeros((b, h, t, d), jnp.float32))
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def body(_, carry):

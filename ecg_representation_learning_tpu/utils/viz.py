@@ -86,6 +86,40 @@ def plot_ecg(arr, title: Optional[str] = None, xlabel: str = 'timestep',
     return ax
 
 
+def plot_rpeak(sig, idx_rpeak, title: Optional[str] = None, save: Union[bool, str] = False,
+               show: bool = True):
+    """Signal with R-peak markers (reference plot_rpeak, ecg.py:127-144)."""
+    import matplotlib.pyplot as plt
+    sig = _np(sig)
+    plt.figure(figsize=(16, 5))
+    plt.plot(np.arange(sig.size), sig, marker='o', ms=0.3, lw=0.25,
+             label='Signal', alpha=0.6)
+    for i in idx_rpeak:
+        plt.axvline(x=i, c='r', lw=0.5, label='R peak')
+    handles, labels = plt.gca().get_legend_handles_labels()
+    by_label = dict(zip(labels, handles))
+    plt.legend(by_label.values(), by_label.keys())
+    t = 'ECG R-peaks' + (f', {title}' if title else '')
+    plt.title(t)
+    if save:
+        return save_fig(save if isinstance(save, str) else t)
+    if show:
+        plt.show()
+
+
+def plot_resampling(x, y, x_new, y_new, title: Optional[str] = None, show: bool = True):
+    """Original vs resampled signal overlay (reference plot_resampling, ecg.py:114-125)."""
+    import matplotlib.pyplot as plt
+    plt.figure(figsize=(16, 6))
+    plt.plot(x, y, marker='o', ms=4, lw=2, label='Original', alpha=0.5)
+    plt.plot(x_new, y_new, marker='x', ms=4, lw=1, label='Resampled')
+    if title:
+        plt.title(title)
+    plt.legend()
+    if show:
+        plt.show()
+
+
 def barplot(x, y, ax=None, palette=None, orient: str = 'v', width: float = 0.8,
             xlabel: Optional[str] = None, ylabel: Optional[str] = None,
             with_value: bool = True, title: Optional[str] = None):
