@@ -84,6 +84,11 @@ class Trainer:
         mesh=None,
         name: str = 'EcgVit',
     ):
+        if train_cfg.mesh_model > 1 and model_cfg.use_flash_attention:
+            # pallas_call has no SPMD partitioning rules; under tensor
+            # parallelism XLA would force gathers around the kernel -- use the
+            # XLA attention path (negligible at 41 tokens) when TP is on
+            model_cfg = dataclasses.replace(model_cfg, use_flash_attention=False)
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.model = EcgVit(model_cfg)
