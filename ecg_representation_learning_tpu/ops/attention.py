@@ -14,10 +14,10 @@ Design:
   * logical head_dim is zero-padded to the 128-lane tile; padded K positions
     are masked to -inf before the softmax, padded V columns produce zeros that
     are sliced off.
-  * backward: custom VJP that recomputes attention probabilities from the
-    saved (out, logsumexp) residuals with plain XLA einsums -- exact, and at
-    ECG sizes the O(T^2) recompute is negligible; a fully-blocked backward
-    kernel is the long-sequence extension point.
+  * backward: custom VJP that recomputes the attention probabilities from the
+    saved (q, k, v) residuals with plain XLA einsums -- exact (softmax is
+    shift-invariant), and at ECG sizes the O(T^2) recompute is negligible; a
+    fully-blocked backward kernel is the long-sequence extension point.
   * attention-probability dropout (reference trains with p=0.1,
     ecg_vit.py:113) is applied by the caller on the XLA path; the kernel path
     is used when dropout is off (eval / deterministic) -- see models/vit.py.

@@ -130,6 +130,7 @@ def filtfilt_scan(b, a, x: jnp.ndarray, padlen: int = None) -> jnp.ndarray:
     a = np.asarray(a)
     if padlen is None:
         padlen = 3 * max(len(a), len(b))  # scipy default
+    padlen = min(padlen, x.shape[-1] - 1)  # short signals: cap the extension
     zi = _lfilter_zi(tuple(b.tolist()), tuple(a.tolist()))
     zi_j = jnp.asarray(zi, x.dtype)
 
@@ -224,6 +225,10 @@ def filtfilt_fir(b, a, x: jnp.ndarray, tol: float = 1e-8) -> jnp.ndarray:
     g = filtfilt_fir_taps(tuple(b.tolist()), tuple(a.tolist()), tol)
     halfw = (len(g) - 1) // 2
     padlen = max(3 * max(len(a), len(b)), halfw)
+    if padlen >= x.shape[-1]:
+        # signal shorter than the FIR edge region: fall back to the exact
+        # scan path, which caps its own extension
+        return filtfilt_scan(b, a, x)
     ext = odd_ext(x, padlen)
     # y[n] = sum_j g[j] ext[n + j]; want out[m] = y[m + padlen - halfw], m in [0, L)
     full = fir_correlate_matmul(ext, g, stride=1)
