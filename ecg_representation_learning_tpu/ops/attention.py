@@ -90,6 +90,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0, ...] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                      *, scale: float, seq_len: int, block_k: int):
+    """Forward variant that also emits the log-sum-exp (for the blocked bwd)."""
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  scale=scale, seq_len=seq_len, block_k=block_k)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == nk - 1)
+    def _emit_lse():
+        lse_ref[0, ...] = m_ref[...] + jnp.log(jnp.maximum(l_ref[...], 1e-30))
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -99,9 +112,7 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k', 'interpret'))
-def _flash_forward(q, k, v, scale: float, block_q: int, block_k: int,
-                   interpret: bool = False):
+def _padded_qkv(q, k, v, block_q, block_k):
     b, h, t, d = q.shape
     tq = -(-t // block_q) * block_q
     tk = -(-t // block_k) * block_k
@@ -109,29 +120,183 @@ def _flash_forward(q, k, v, scale: float, block_q: int, block_k: int,
     qp = _pad_to(_pad_to(q, tq, 2), dp, 3).reshape(b * h, tq, dp)
     kp = _pad_to(_pad_to(k, tk, 2), dp, 3).reshape(b * h, tk, dp)
     vp = _pad_to(_pad_to(v, tk, 2), dp, 3).reshape(b * h, tk, dp)
+    return qp, kp, vp, tq, tk, dp
 
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k',
+                                             'interpret', 'return_lse'))
+def _flash_forward(q, k, v, scale: float, block_q: int, block_k: int,
+                   interpret: bool = False, return_lse: bool = False):
+    b, h, t, d = q.shape
+    qp, kp, vp, tq, tk, dp = _padded_qkv(q, k, v, block_q, block_k)
+
+    grid = (b * h, tq // block_q, tk // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+        pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
+        pltpu.VMEM((block_q, dp), jnp.float32),    # output accumulator
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=('parallel', 'parallel', 'arbitrary'))
+    o_spec = pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0))
+    if return_lse:
+        kernel = functools.partial(_flash_kernel_lse, scale=scale, seq_len=t,
+                                   block_k=block_k)
+        out, lse = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((b * h, tq, dp), q.dtype),
+                       jax.ShapeDtypeStruct((b * h, tq, 128), jnp.float32)),
+            grid=grid, in_specs=in_specs,
+            out_specs=(o_spec,
+                       pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0))),
+            scratch_shapes=scratch, compiler_params=params,
+            interpret=interpret,
+        )(qp, kp, vp)
+        return (out.reshape(b, h, tq, dp)[:, :, :t, :d],
+                lse[:, :, 0].reshape(b, h, tq)[:, :, :t])
     kernel = functools.partial(_flash_kernel, scale=scale, seq_len=t, block_k=block_k)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, tq, dp), q.dtype),
-        grid=(b * h, tq // block_q, tk // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, dp), jnp.float32),    # output accumulator
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
-        ),
+        grid=grid, in_specs=in_specs, out_specs=o_spec,
+        scratch_shapes=scratch, compiler_params=params,
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, tq, dp)[:, :, :t, :d]
+
+
+# ---------------------------------------------------------------------------
+# Blocked backward kernels (long-sequence path: never materializes T x T)
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   acc_ref, *, scale: float, seq_len: int, block_k: int):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kpos < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    dpv = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dpv - delta_ref[0][:, :1])
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, ...] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, acc_dk, acc_dv,
+                    *, scale: float, seq_len: int, block_q: int, block_k: int):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ik = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(kpos < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    p = jnp.where(qpos < seq_len, p, 0.0)          # padded queries contribute 0
+    acc_dv[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpv = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dpv - delta_ref[0][:, :1])
+    acc_dk[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, ...] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0, ...] = acc_dv[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k',
+                                             'interpret'))
+def _flash_backward_blocked(q, k, v, out, lse, g, scale: float,
+                            block_q: int, block_k: int, interpret: bool = False):
+    b, h, t, d = q.shape
+    qp, kp, vp, tq, tk, dp = _padded_qkv(q, k, v, block_q, block_k)
+    dop = _pad_to(_pad_to(g, tq, 2), dp, 3).reshape(b * h, tq, dp)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    lse_p = _pad_to(lse, tq, 2).reshape(b * h, tq, 1)
+    lse_p = jnp.broadcast_to(lse_p, (b * h, tq, 128))
+    delta_p = _pad_to(delta, tq, 2).reshape(b * h, tq, 1)
+    delta_p = jnp.broadcast_to(delta_p, (b * h, tq, 128))
+
+    qs = pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0))
+    ks = pl.BlockSpec((1, block_k, dp), lambda bh, iq, ik: (bh, ik, 0))
+    rs = pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik: (bh, iq, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=t, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, dp), q.dtype),
+        grid=(b * h, tq // block_q, tk // block_k),
+        in_specs=[qs, ks, ks, qs, rs, rs],
+        out_specs=qs,
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, delta_p)
+
+    # dk/dv: grid is (bh, k_blocks, q_blocks) with the q axis sequential
+    qs2 = pl.BlockSpec((1, block_q, dp), lambda bh, ik, iq: (bh, iq, 0))
+    ks2 = pl.BlockSpec((1, block_k, dp), lambda bh, ik, iq: (bh, ik, 0))
+    rs2 = pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq: (bh, iq, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=t,
+                          block_q=block_q, block_k=block_k),
+        out_shape=(jax.ShapeDtypeStruct((b * h, tk, dp), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, tk, dp), v.dtype)),
+        grid=(b * h, tk // block_k, tq // block_q),
+        in_specs=[qs2, ks2, ks2, qs2, rs2, rs2],
+        out_specs=(ks2, ks2),
+        scratch_shapes=[pltpu.VMEM((block_k, dp), jnp.float32),
+                        pltpu.VMEM((block_k, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, delta_p)
+
+    def unpad(x, tt):
+        return x.reshape(b, h, tt, dp)[:, :, :t, :d]
+    return unpad(dq, tq), unpad(dk, tk), unpad(dv, tk)
+
+
+# sequence length above which the backward switches from XLA recompute
+# (materializes T x T probabilities) to the blocked kernels
+BLOCKED_BWD_MIN_SEQ = 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -140,8 +305,10 @@ def flash_attention(q, k, v, scale: Optional[float] = None,
                     interpret: bool = False):
     """Multi-head attention, (B, H, T, D) -> (B, H, T, D).
 
-    ``scale`` defaults to 1/sqrt(D).  Forward runs the Pallas kernel; backward
-    recomputes probabilities in XLA (exact at ECG sequence lengths).
+    ``scale`` defaults to 1/sqrt(D).  Forward runs the Pallas kernel.
+    Backward: XLA recompute for short sequences (exact, negligible at ECG
+    sizes); the blocked Pallas kernels for T >= BLOCKED_BWD_MIN_SEQ, which
+    never materialize the T x T probabilities (long-record pretraining).
     """
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
@@ -151,15 +318,22 @@ def flash_attention(q, k, v, scale: Optional[float] = None,
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
+    if q.shape[2] >= BLOCKED_BWD_MIN_SEQ:
+        out, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                                  return_lse=True)
+        return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
-    # recompute probabilities exactly (softmax is shift-invariant)
+    if lse is not None:
+        return _flash_backward_blocked(q, k, v, out, lse, g, scale,
+                                       block_q, block_k, interpret)
+    # short-sequence path: recompute probabilities exactly in XLA
     s = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                    preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
