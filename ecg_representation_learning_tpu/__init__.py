@@ -19,4 +19,4 @@ of the reference this build follows):
 
 __version__ = '0.1.0'
 
-from . import configs, registry  # noqa: F401
+from . import configs, registry, runtime  # noqa: F401
