@@ -32,7 +32,8 @@ from ..ops.preprocess import zheng_denoise
 from ..ops.resample import resample_to
 from ..registry import DATASETS, TARGET_FQS, DatasetMeta
 from ..utils.logging import get_logger
-from .readers import BulkHdf5Reader, read_csv_record, read_many, read_record
+from .readers import (BulkHdf5Reader, read_csv_record, read_header, read_many,
+                      read_record)
 
 
 def get_rec_paths(dataset_key: str, data_root: str) -> List[str]:
@@ -42,17 +43,41 @@ def get_rec_paths(dataset_key: str, data_root: str) -> List[str]:
     return sorted(globlib.iglob(pattern, recursive=True))
 
 
-def _read_raw(dataset_key: str, paths: Sequence[str], n_workers: int = 8
-              ) -> List[np.ndarray]:
+def _strip_ext(path: str, ext: Optional[str]) -> str:
+    return path[:-len(ext)] if ext else path
+
+
+def _batch_reader(dataset_key: str, paths: Sequence[str], n_workers: int = 8
+                  ) -> Tuple[int, Callable[[int, int], List[np.ndarray]]]:
+    """(n_records, read_batch(i0, i1)) -- never materializes the full corpus."""
     meta = DATASETS[dataset_key]
-    if meta.reader == 'csv':
-        return read_many(paths, read_csv_record, n_workers)
     if meta.reader == 'hdf5_bulk':
         rd = BulkHdf5Reader(paths[0])
-        return [rd[i] for i in range(len(rd))]
-    ext = meta.rec_ext or ''
-    return read_many(paths, lambda p: read_record(p[:-len(ext)] if ext else p)[0],
-                     n_workers)
+        return len(rd), lambda i0, i1: [rd[i] for i in range(i0, i1)]
+    if meta.reader == 'csv':
+        reader = read_csv_record
+    else:
+        ext = meta.rec_ext
+        reader = lambda p: read_record(_strip_ext(p, ext))[0]
+    return len(paths), lambda i0, i1: read_many(paths[i0:i1], reader, n_workers)
+
+
+def _probe_max_len(dataset_key: str, paths: Sequence[str]) -> int:
+    """Longest record length WITHOUT reading signal payloads: WFDB headers
+    carry n_samples, bulk HDF5 carries its shape, CSVs are line-counted."""
+    meta = DATASETS[dataset_key]
+    if meta.reader == 'hdf5_bulk':
+        return BulkHdf5Reader(paths[0]).record_length
+    if meta.reader == 'csv':
+        mx = 0
+        for p in paths:
+            with open(p, 'rb') as f:
+                n = sum(buf.count(b'\n')
+                        for buf in iter(lambda: f.read(1 << 20), b''))
+            mx = max(mx, n - 1)  # minus the CSV header row
+        return mx
+    return max(read_header(_strip_ext(p, meta.rec_ext) + '.hea').n_samples
+               for p in paths)
 
 
 def export_combined(
@@ -64,7 +89,13 @@ def export_combined(
     batch: int = 256,
     n_workers: int = 8,
 ) -> str:
-    """Raw corpus -> ``{key}-combined.hdf5`` on the unified grid."""
+    """Raw corpus -> ``{key}-combined.hdf5`` on the unified grid.
+
+    Streaming: records are read, resampled, and written one batch at a time,
+    so peak host RAM is O(batch x record), never O(corpus) -- the reference
+    loads every record before writing (data_export.py:191-221), which does
+    not fit a small host for the 30-min INCART records or multi-corpus runs.
+    """
     import h5py
     logger = get_logger('ECG Record Export')
     meta = DATASETS[dataset_key]
@@ -72,17 +103,17 @@ def export_combined(
     assert paths, f'no records matched for {dataset_key} under {data_root}'
     logger.info(f'Exporting {dataset_key}: {len(paths)} records @ {meta.fqs} Hz')
 
-    sigs = _read_raw(dataset_key, paths, n_workers)
     src_fqs = meta.fqs
-    tgt_len = pad_length or max(
-        int(round(s.shape[-1] * fqs / src_fqs)) for s in sigs)
-    n, c = len(sigs), sigs[0].shape[0]
+    n, read_batch = _batch_reader(dataset_key, paths, n_workers)
+    tgt_len = pad_length or int(round(
+        _probe_max_len(dataset_key, paths) * fqs / src_fqs))
+    c = read_batch(0, 1)[0].shape[0]
     out_path = os.path.join(out_dir, f'{dataset_key}-combined.hdf5')
     os.makedirs(out_dir, exist_ok=True)
     with h5py.File(out_path, 'w') as f:
         dset = f.create_dataset('data', shape=(n, c, tgt_len), dtype=np.float32)
         for i0 in range(0, n, batch):
-            chunk = sigs[i0:i0 + batch]
+            chunk = read_batch(i0, min(i0 + batch, n))
             # group equal-length signals to keep shapes static under jit
             by_len = {}
             for j, s in enumerate(chunk):

@@ -39,6 +39,7 @@ class WfdbSignalSpec:
     adc_zero: int
     init_value: int
     description: str
+    byte_offset: int = 0
 
 
 @dataclasses.dataclass
@@ -51,7 +52,7 @@ class WfdbHeader:
 
 
 _SIG_LINE = re.compile(
-    r'^(?P<file>\S+)\s+(?P<fmt>\d+)(?:x(?P<spf>\d+))?(?::\d+)?(?:\+\d+)?'
+    r'^(?P<file>\S+)\s+(?P<fmt>\d+)(?:x(?P<spf>\d+))?(?::\d+)?(?:\+(?P<offset>\d+))?'
     r'(?:\s+(?P<gain>[-\d.e+]+)(?:\((?P<baseline>-?\d+)\))?(?:/(?P<units>\S+))?)?'
     r'(?:\s+(?P<adcres>-?\d+))?(?:\s+(?P<adczero>-?\d+))?(?:\s+(?P<initval>-?\d+))?'
     r'(?:\s+(?P<checksum>-?\d+))?(?:\s+(?P<blocksize>-?\d+))?(?:\s+(?P<desc>.*))?$'
@@ -94,6 +95,7 @@ def read_header(hea_path: str) -> WfdbHeader:
             adc_zero=adc_zero,
             init_value=int(m.group('initval') or 0),
             description=(m.group('desc') or '').strip(),
+            byte_offset=int(m.group('offset') or 0),
         ))
     return WfdbHeader(record_name=name, n_sig=n_sig, fs=fs,
                       n_samples=n_samples, signals=sigs)
@@ -143,6 +145,16 @@ def read_record(path_no_ext: str, physical: bool = True) -> Tuple[np.ndarray, Wf
 
     Physical units: (digital - baseline) / gain, like wfdb.rdsamp's p_signal
     (transposed to leads-first as the reference's fnm2sigs does).
+
+    Handles the full signal-line dtype spec the registry corpora use
+    (reference path: wfdb.rdsamp at util/ecg.py:202-217):
+
+      * ``fmt+offset`` byte-offset payloads -- the CinC-style ``.mat`` records
+        of G12EC / CSPC-CinC / CSPC-Extra-CinC are ``16+24`` (24-byte MATLAB
+        Level-4 header before the int16 samples);
+      * ``fmtxN`` samples-per-frame > 1 (multi-frequency records): each frame
+        carries N consecutive samples for that signal; they are averaged down
+        to the frame rate, matching wfdb.rdsamp's default smooth_frames=True.
     """
     hdr = read_header(path_no_ext + '.hea')
     base_dir = os.path.dirname(path_no_ext)
@@ -153,22 +165,33 @@ def read_record(path_no_ext: str, physical: bool = True) -> Tuple[np.ndarray, Wf
     out = np.empty((hdr.n_sig, hdr.n_samples), np.float32 if physical else np.int32)
     for fname, idxs in by_file.items():
         fmt = hdr.signals[idxs[0]].fmt
-        n_ch = len(idxs)
+        offset = hdr.signals[idxs[0]].byte_offset
+        assert all(hdr.signals[i].fmt == fmt for i in idxs), \
+            f'mixed formats within {fname}'
+        assert all(hdr.signals[i].byte_offset == offset for i in idxs), \
+            f'mixed byte offsets within {fname}'
+        spfs = [hdr.signals[i].samples_per_frame for i in idxs]
+        frame_width = sum(spfs)  # samples per frame across this file's signals
         with open(os.path.join(base_dir, fname), 'rb') as f:
+            if offset:
+                f.seek(offset)
             raw = f.read()
-        vals = _decode_fmt(raw, fmt, n_ch * hdr.n_samples)
-        frames = vals.reshape(-1, n_ch).T  # interleaved by frame
+        vals = _decode_fmt(raw, fmt, frame_width * hdr.n_samples)
+        frames = vals.reshape(hdr.n_samples, frame_width)
         sentinel = _NAN_SENTINEL.get(fmt)
-        for row, sig_idx in enumerate(idxs):
+        col = 0
+        for spf, sig_idx in zip(spfs, idxs):
             spec = hdr.signals[sig_idx]
-            d = frames[row, :hdr.n_samples]
+            d = frames[:, col:col + spf]  # (n_frames, spf)
+            col += spf
             if physical:
                 p = (d.astype(np.float32) - spec.baseline) / spec.gain
                 if sentinel is not None:
                     p = np.where(d == sentinel, np.nan, p)
-                out[sig_idx] = p
+                out[sig_idx] = p.mean(axis=1) if spf > 1 else p[:, 0]
             else:
-                out[sig_idx] = d
+                out[sig_idx] = (np.round(d.mean(axis=1)).astype(np.int32)
+                                if spf > 1 else d[:, 0])
     return out, hdr
 
 
@@ -191,6 +214,12 @@ class BulkHdf5Reader:
 
     def __len__(self):
         return self._data.shape[0]
+
+    @property
+    def record_length(self) -> int:
+        """Time-axis length (stored (N, L, 12) or (N, 12, L); L is the
+        larger trailing dim, mirroring __getitem__'s orientation fix)."""
+        return max(self._data.shape[1], self._data.shape[2])
 
     def __getitem__(self, idx: int) -> np.ndarray:
         arr = np.asarray(self._data[idx], np.float32)
