@@ -35,7 +35,8 @@ def _add_common_train_flags(p):
     p.add_argument('--seed', type=int, default=77)
     p.add_argument('--output-dir', default=None)
     p.add_argument('--n-sample', type=int, default=None)
-    p.add_argument('--bf16', action='store_true', default=True)
+    p.add_argument('--bf16', action=argparse.BooleanOptionalAction, default=True,
+                   help='bfloat16 activations (--no-bf16 for float32)')
 
 
 def _load_splits(args):
@@ -67,13 +68,36 @@ def cmd_denoise(args):
     print(out)
 
 
+def _model_cfg_for(args):
+    """VitConfig for the run; --port-checkpoint implies the reference
+    vit-pytorch-0.33.2-compatible layout (patch_norm=False)."""
+    from .configs import VitConfig
+    from .models.port import reference_vit_config
+    from .utils.check_args import ca
+    ca(model_size=args.size)
+    dtype = 'bfloat16' if args.bf16 else 'float32'
+    if getattr(args, 'port_checkpoint', None):
+        return reference_vit_config(args.size, dtype=dtype)
+    return VitConfig.from_defined(args.size, dtype=dtype)
+
+
+def _maybe_port(args, trainer):
+    """Install a reference torch state_dict into the trainer if requested."""
+    if getattr(args, 'port_checkpoint', None):
+        from .models.port import port_vit_pytorch_state_dict
+        import torch
+        sd = torch.load(args.port_checkpoint, map_location='cpu')
+        if isinstance(sd, dict) and 'state_dict' in sd:
+            sd = sd['state_dict']
+        trainer.set_params(port_vit_pytorch_state_dict(sd, trainer.model_cfg))
+
+
 def cmd_train(args):
-    from .configs import TrainConfig, VitConfig
+    from .configs import TrainConfig
     from .registry import PTBXL_TRAIN_STATS
     from .train import Trainer
     splits = _load_splits(args)
-    model_cfg = VitConfig.from_defined(args.size,
-                                       dtype='bfloat16' if args.bf16 else 'float32')
+    model_cfg = _model_cfg_for(args)
     cfg = TrainConfig(
         num_train_epoch=args.epochs, train_batch_size=args.batch_size,
         eval_batch_size=args.batch_size, learning_rate=args.lr,
@@ -84,6 +108,7 @@ def cmd_train(args):
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
     tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
                  norm_stats=stats, output_dir=args.output_dir)
+    _maybe_port(args, tr)
     if args.resume_from:
         tr.load_checkpoint(args.resume_from)
     result = tr.train()
@@ -94,11 +119,10 @@ def cmd_train(args):
 
 
 def cmd_pretrain(args):
-    from .configs import MaeConfig, TrainConfig, VitConfig
+    from .configs import MaeConfig, TrainConfig
     from .train.pretrain import MaeTrainer
     splits = _load_splits(args)
-    model_cfg = VitConfig.from_defined(args.size,
-                                       dtype='bfloat16' if args.bf16 else 'float32')
+    model_cfg = _model_cfg_for(args)
     mae_cfg = MaeConfig(mask_ratio=args.mask_ratio)
     cfg = TrainConfig(
         num_train_epoch=args.epochs, train_batch_size=args.batch_size,
@@ -113,15 +137,16 @@ def cmd_pretrain(args):
 
 
 def cmd_evaluate(args):
-    from .configs import TrainConfig, VitConfig
+    from .configs import TrainConfig
     from .registry import PTBXL_TRAIN_STATS
     from .train import Trainer
     from .train.evaluate import evaluate_trained
     splits = _load_splits(args)
-    model_cfg = VitConfig.from_defined(args.size)
+    model_cfg = _model_cfg_for(args)
     tr = Trainer(model_cfg, TrainConfig(), train_data=None, eval_data=splits.eval,
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
+    _maybe_port(args, tr)
     if args.checkpoint:
         tr.load_checkpoint(args.checkpoint)
     results = evaluate_trained(tr, {'eval': splits.eval, 'test': splits.test},
@@ -141,12 +166,12 @@ def cmd_visualize(args):
     matplotlib.use('Agg')
     import numpy as np
     import jax
-    from .configs import VitConfig, TrainConfig
+    from .configs import TrainConfig
     from .registry import PTBXL_TRAIN_STATS
     from .train import Trainer
     from .utils import EcgVitVisualizer
     splits = _load_splits(args)
-    model_cfg = VitConfig.from_defined(args.size)
+    model_cfg = _model_cfg_for(args)
     tr = Trainer(model_cfg, TrainConfig(), eval_data=splits.eval,
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
@@ -168,6 +193,8 @@ def cmd_visualize(args):
 def cmd_tokenize(args):
     import numpy as np
     from .models.tokenizer import EcgTokenizer
+    from .utils.check_args import ca
+    ca(pad_mode=args.pad)
     if args.hdf5:
         from .data import EcgDataset
         sigs = EcgDataset(args.hdf5).load()
@@ -223,6 +250,10 @@ def main(argv=None):
         sp.add_argument('--labels-csv', default=None)
         sp.add_argument('--synth-n', type=int, default=512)
         sp.add_argument('--stats', default=None, choices=[None, 'original', 'denoised'])
+        if name in ('train', 'evaluate'):
+            sp.add_argument('--port-checkpoint', default=None, metavar='PT_FILE',
+                            help='initialize from a reference torch EcgVit '
+                                 'state_dict (.pt) via models/port.py')
         if name == 'train':
             sp.add_argument('--resume-from', default=None)
         if name == 'pretrain':

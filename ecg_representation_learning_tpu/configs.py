@@ -30,6 +30,11 @@ class VitConfig:
     attention_probs_dropout_prob: float = 0.1
     num_class: int = PTBXL_N_CLASS
     pool: str = 'cls'               # 'cls' | 'mean' (reference uses cls, ecg_vit.py:110)
+    patch_norm: bool = True         # LayerNorm before/after the patch projection
+                                    # (vit-pytorch >=0.35 'better plain ViT' layout;
+                                    # the reference pins 0.33.2 which has neither --
+                                    # set False to load reference checkpoints,
+                                    # see models/port.py)
     dtype: str = 'float32'          # compute dtype for activations ('bfloat16' on TPU)
     use_flash_attention: bool = True
     remat: bool = False             # jax.checkpoint each block (memory for FLOPs
@@ -116,17 +121,27 @@ class TrainConfig:
     save_every_n_epoch: int = 0         # 0 = only save at the end
     seed: int = 77                      # reference config.json 'random-seed'
     debug_nans: bool = True             # stop on non-finite grads (reference
-                                        # error_if_nonfinite grad-clip, train.py:281)
+                                        # error_if_nonfinite grad-clip, train.py:281).
+                                        # Detection is accumulated on device every
+                                        # step (a non-finite step's gradients are
+                                        # zeroed so params stay clean) and raised at
+                                        # the next host sync -- independent of the
+                                        # log_per_epoch throttle.
+    jax_debug_nans: bool = False        # opt-in: enable jax.config jax_debug_nans
+                                        # (op-by-op NaN localization inside jitted
+                                        # programs; slow -- debugging only)
     loss_weight: Optional[Tuple[float, float]] = None  # (w_neg, w_pos) per-element
                                         # BCE weights by label value (reference
                                         # EcgVit.loss_weight, ecg_vit.py:144-148)
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
-    mesh_data: int = 1                  # data-parallel axis size
+    mesh_data: Optional[int] = None     # data-parallel axis size (None = all
+                                        # devices not claimed by mesh_model)
     mesh_model: int = 1                 # model (TP/FSDP) axis size
 
     def steps_per_epoch(self, n_train: int) -> int:
-        # ceil, fixing the reference's floor-div-inside-ceil quirk (train.py:433)
-        return -(-n_train // self.train_batch_size)
+        # floor: the trainer drops the last partial batch (static shapes under
+        # jit); the reference's ceil(a // b) quirk (train.py:433) is not kept
+        return max(1, n_train // self.train_batch_size)
 
     def total_steps(self, n_train: int) -> int:
         return self.steps_per_epoch(n_train) * self.num_train_epoch

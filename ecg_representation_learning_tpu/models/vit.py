@@ -46,9 +46,12 @@ class PatchEmbed1D(nn.Module):
         # (B, C, P, patch) -> (B, P, C*patch); lead-major within a patch vector
         patches = x.reshape(b, c, n_patch, cfg.patch_size)
         patches = patches.transpose(0, 2, 1, 3).reshape(b, n_patch, c * cfg.patch_size)
-        patches = nn.LayerNorm(dtype=jnp.float32, name='pre_norm')(patches)
+        if cfg.patch_norm:
+            patches = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='pre_norm')(patches)
         h = nn.Dense(cfg.hidden_size, dtype=_dtype(cfg), name='proj')(patches)
-        return nn.LayerNorm(dtype=jnp.float32, name='post_norm')(h)
+        if cfg.patch_norm:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='post_norm')(h)
+        return h
 
 
 class SelfAttention(nn.Module):
@@ -92,7 +95,8 @@ class Mlp(nn.Module):
         cfg = self.cfg
         dt = _dtype(cfg)
         h = nn.Dense(cfg.intermediate_size, dtype=dt, name='fc1')(x)
-        h = nn.gelu(h)
+        # exact (erf) GELU, matching torch nn.GELU in the reference's vit-pytorch
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name='fc2')(h)
         return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
@@ -104,11 +108,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool, return_probs: bool = False):
         attn_out, probs = SelfAttention(self.cfg, name='attn')(
-            nn.LayerNorm(dtype=jnp.float32, name='norm1')(x),
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm1')(x),
             deterministic, return_probs)
         x = x + attn_out
         x = x + Mlp(self.cfg, name='mlp')(
-            nn.LayerNorm(dtype=jnp.float32, name='norm2')(x), deterministic)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm2')(x), deterministic)
         return x, probs
 
 
@@ -148,7 +152,7 @@ class EcgVitEncoder(nn.Module):
                                                          return_attention)
             if return_attention:
                 attn_maps.append(probs)
-        h = nn.LayerNorm(dtype=jnp.float32, name='final_norm')(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='final_norm')(h)
         if return_attention:
             return h, jnp.stack(attn_maps, axis=0)  # (L, B, H, T, T)
         return h

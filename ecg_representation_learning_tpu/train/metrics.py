@@ -45,6 +45,64 @@ def binary_stats(probs: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.ndarr
     }
 
 
+def classification_report(probs: np.ndarray, labels: np.ndarray,
+                          threshold: float = 0.5) -> Dict[str, object]:
+    """sklearn-style binary classification report over the flattened
+    (sample, class) cells -- the reference's ``metrics.classification_report``
+    payload (util/train.py:46-53): per-class precision/recall/f1/support for
+    'neg' and 'pos', plus accuracy and macro/weighted averages.
+
+    Matches ``sklearn.metrics.classification_report(y_true, y_pred,
+    labels=[0, 1], target_names=['neg', 'pos'], output_dict=True,
+    zero_division=0)`` exactly (tested in tests/test_metrics.py).  Note the
+    reference passes (preds, labels) in the (y_true, y_pred) slots and swaps
+    the rec_pos/rec_neg assignment -- two bugs recorded in SURVEY.md; here
+    y_true = labels, y_pred = thresholded probs, names unswapped.
+    """
+    y_pred = (np.asarray(probs).reshape(-1) >= threshold).astype(np.int64)
+    y_true = (np.asarray(labels).reshape(-1) > 0.5).astype(np.int64)
+    out: Dict[str, object] = {}
+    supports, precs, recs, f1s = [], [], [], []
+    for cls, name in ((0, 'neg'), (1, 'pos')):
+        tp = int(np.sum((y_pred == cls) & (y_true == cls)))
+        pred_p = int(np.sum(y_pred == cls))
+        true_p = int(np.sum(y_true == cls))
+        prec = tp / pred_p if pred_p else 0.0
+        rec = tp / true_p if true_p else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        out[name] = {'precision': prec, 'recall': rec, 'f1-score': f1,
+                     'support': true_p}
+        supports.append(true_p)
+        precs.append(prec)
+        recs.append(rec)
+        f1s.append(f1)
+    n = int(y_true.size)
+    w = np.asarray(supports, np.float64) / max(n, 1)
+    out['accuracy'] = float(np.mean(y_pred == y_true))
+    out['macro avg'] = {'precision': float(np.mean(precs)),
+                        'recall': float(np.mean(recs)),
+                        'f1-score': float(np.mean(f1s)), 'support': n}
+    out['weighted avg'] = {'precision': float(np.dot(w, precs)),
+                           'recall': float(np.dot(w, recs)),
+                           'f1-score': float(np.dot(w, f1s)), 'support': n}
+    return out
+
+
+def per_class_recall(probs: np.ndarray, labels: np.ndarray,
+                     id2code: Sequence[str] = PTBXL_ID2CODE,
+                     threshold: float = 0.5) -> Dict[str, float]:
+    """Recall per diagnostic code at the given threshold, over classes with at
+    least one positive label (VERDICT round-1 item 4: per-class payload)."""
+    probs = np.asarray(probs)
+    labels = np.asarray(labels) > 0.5
+    preds = probs >= threshold
+    out: Dict[str, float] = {}
+    for idx in np.nonzero(labels.any(axis=0))[0]:
+        pos = labels[:, idx]
+        out[id2code[idx]] = float(np.sum(preds[:, idx] & pos) / pos.sum())
+    return out
+
+
 def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     """Binary AUROC via the Mann-Whitney U statistic with midrank ties.
 

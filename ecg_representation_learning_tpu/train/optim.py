@@ -13,9 +13,11 @@ from typing import Tuple
 import optax
 
 from ..configs import TrainConfig
+from ..utils.check_args import ca
 
 
 def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
+    ca(schedule=cfg.schedule)
     warmup = int(round(total_steps * cfg.warmup_ratio))
     if cfg.schedule == 'constant':
         if warmup <= 0:
@@ -37,11 +39,10 @@ def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
 
 def make_optimizer(cfg: TrainConfig, total_steps: int
                    ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    ca(optimizer=cfg.optimizer)
     sched = make_schedule(cfg, total_steps)
     if cfg.optimizer == 'AdamW':
         opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
-    elif cfg.optimizer == 'Adam':
-        opt = optax.adam(sched)
     else:
-        raise ValueError(f'Unknown optimizer {cfg.optimizer!r}')
+        opt = optax.adam(sched)
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt), sched

@@ -39,7 +39,8 @@ from ..ops.augment import timeout as timeout_op
 from ..ops.pad import time_end_pad
 from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, param_shardings, replicated
 from ..utils.logging import TbWriter, get_logger, pretty_log_dict
-from .metrics import binary_stats, multilabel_auroc
+from .metrics import (binary_stats, classification_report, multilabel_auroc,
+                      per_class_recall)
 from .optim import make_optimizer
 
 
@@ -99,14 +100,16 @@ class Trainer:
         self.std = jnp.asarray(stats['std'], jnp.float32)
 
         self.mesh = mesh if mesh is not None else make_mesh(
-            n_data=None, n_model=train_cfg.mesh_model)
+            n_data=train_cfg.mesh_data, n_model=train_cfg.mesh_model)
+        if train_cfg.jax_debug_nans:
+            jax.config.update('jax_debug_nans', True)
         self.name = name
         self.save_time = datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S')
         self.output_dir = output_dir or os.path.join('runs', self.save_time)
 
         n_train = len(train_data) if train_data is not None else 1
-        self.steps_per_epoch = max(1, n_train // train_cfg.train_batch_size)
-        self.total_steps = self.steps_per_epoch * train_cfg.num_train_epoch
+        self.steps_per_epoch = train_cfg.steps_per_epoch(n_train)
+        self.total_steps = train_cfg.total_steps(n_train)
         self.optimizer, self.schedule = make_optimizer(train_cfg, self.total_steps)
 
         self.state: Optional[TrainState] = None
@@ -139,13 +142,26 @@ class Trainer:
         self.state = state
         return state
 
+    def set_params(self, params):
+        """Install an externally-built param tree (e.g. a reference torch
+        checkpoint ported via models/port.py), re-initializing the optimizer
+        state.  Params are placed on the mesh per the partition rules."""
+        if self.state is None:
+            self.init_state()
+        pspec = param_shardings(params, self.mesh)
+        params = jax.tree.map(
+            lambda a, s: jax.device_put(jnp.asarray(a), s), params, pspec)
+        self.state = self.state.replace(params=params,
+                                        opt_state=self.optimizer.init(params))
+        return self.state
+
     def _build_steps(self):
         model, cfg = self.model, self.cfg
         mean, std = self.mean, self.std
         patch = self.model_cfg.patch_size
         bsharding = batch_sharding(self.mesh)
 
-        def train_step(state: TrainState, sig, lab):
+        def train_step(state: TrainState, sig, lab, nonfinite_count):
             rng, to_rng, do_rng = jax.random.split(state.rng, 3)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=cfg.augment_timeout,
@@ -159,6 +175,14 @@ class Trainer:
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             grad_norm = optax.global_norm(grads)
+            # numeric sanitizer, decoupled from the log cadence: zero a
+            # non-finite step's gradients so params never get poisoned, count
+            # the event on device; the host raises at its next sync point
+            finite = jnp.isfinite(grad_norm)
+            if cfg.debug_nans:
+                grads = jax.tree.map(
+                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -167,7 +191,7 @@ class Trainer:
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             metrics = {'loss': loss, 'learning_rate': self.schedule(state.step),
                        'grad_norm': grad_norm, **binary_stats(probs, lab)}
-            return new_state, metrics, probs
+            return new_state, metrics, probs, nonfinite_count
 
         def eval_step(params, sig, lab):
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
@@ -177,8 +201,9 @@ class Trainer:
             return out.loss, probs
 
         with self.mesh:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,),
-                                       in_shardings=(None, bsharding, bsharding))
+            self._train_step = jax.jit(
+                train_step, donate_argnums=(0, 3),
+                in_shardings=(None, bsharding, bsharding, None))
             self._eval_step = jax.jit(eval_step,
                                       in_shardings=(None, bsharding, bsharding))
 
@@ -230,6 +255,7 @@ class Trainer:
         best_eval_loss, n_bad_ep = float('inf'), 0
         t_start = time.time()
         history = []
+        nonfinite = jnp.zeros((), jnp.int32)
         if cfg.do_eval and self.eval_data is not None:
             self._log_epoch(self.evaluate(self.eval_data), prefix='eval')
         start_epoch = self.epoch
@@ -238,8 +264,8 @@ class Trainer:
             for sig, lab, _ in self._batches(self.train_data, cfg.train_batch_size,
                                              shuffle_rng=host_rng):
                 with self.mesh:
-                    self.state, metrics, probs = self._train_step(
-                        self.state, jnp.asarray(sig), jnp.asarray(lab))
+                    self.state, metrics, probs, nonfinite = self._train_step(
+                        self.state, jnp.asarray(sig), jnp.asarray(lab), nonfinite)
                 # host-side step counter: fetching state.step would sync the
                 # device every step (~35 ms on the tunneled platform)
                 self._host_step += 1
@@ -247,12 +273,19 @@ class Trainer:
                 if (not cfg.log_per_epoch) or step % self.steps_per_epoch == 0:
                     payload = {f'train/{k}': float(v) for k, v in metrics.items()}
                     payload.update(epoch=self.epoch, step=step)
-                    if cfg.debug_nans and not np.isfinite(payload['train/grad_norm']):
+                    if cfg.debug_nans and int(nonfinite) > 0:
                         # reference grad-clip error_if_nonfinite (train.py:281);
-                        # checked at log points to avoid a per-step device sync
+                        # the on-device counter catches every step regardless
+                        # of log cadence, raised here at the sync point
                         raise FloatingPointError(
-                            f'non-finite gradient norm at step {step}')
+                            f'non-finite gradient norm by step {step} '
+                            f'({int(nonfinite)} bad steps; params unpoisoned)')
                     self._log(payload)
+            if cfg.debug_nans and int(nonfinite) > 0:
+                # epoch-end check covers throttled-logging configs
+                raise FloatingPointError(
+                    f'non-finite gradient norm during epoch {self.epoch} '
+                    f'({int(nonfinite)} bad steps; params unpoisoned)')
             if cfg.save_every_n_epoch and self.epoch % cfg.save_every_n_epoch == 0:
                 self.save_checkpoint(tag=f'ep{self.epoch}')
             if cfg.do_eval and self.eval_data is not None:
@@ -286,6 +319,9 @@ class Trainer:
             self._build_steps()
         params = self.state.params if self.state is not None else None
         assert params is not None, 'call init_state() or load a checkpoint first'
+        assert len(data) > 0, \
+            'evaluate() called on an empty split (e.g. a tiny corpus whose ' \
+            'strat_fold draw left fold 9/10 empty)'
         losses, probs_all, labels_all = [], [], []
         for sig, lab, n_real in self._batches(data, self.cfg.eval_batch_size,
                                               drop_last=False):
@@ -302,6 +338,8 @@ class Trainer:
             **{k: float(v) for k, v in binary_stats(jnp.asarray(probs_np),
                                                     jnp.asarray(labels_np)).items()},
             **multilabel_auroc(probs_np, labels_np),
+            'per_class_recall': per_class_recall(probs_np, labels_np),
+            'classification_report': classification_report(probs_np, labels_np),
         }
         if loss_reduction == 'none':
             out['per_sample_loss'] = losses
@@ -338,7 +376,8 @@ class Trainer:
 
     def _log_epoch(self, metrics: Dict[str, Any], prefix: str):
         payload = {f'{prefix}/{k}': v for k, v in metrics.items()
-                   if k not in ('per_sample_loss', 'predictions', 'history')}
+                   if k not in ('per_sample_loss', 'predictions', 'history',
+                                'classification_report')}
         payload.update(epoch=self.epoch, step=self._host_step)
         self._log(payload)
 
