@@ -37,6 +37,8 @@ class VitConfig:
                                     # see models/port.py)
     dtype: str = 'float32'          # compute dtype for activations ('bfloat16' on TPU)
     use_flash_attention: bool = True
+    flash_interpret: bool = False   # run the Pallas kernel in interpreter mode
+                                    # (CPU-mesh tests of the kernel path)
     remat: bool = False             # jax.checkpoint each block (memory for FLOPs
                                     # -- long-record pretraining / large models)
     size: Optional[str] = None      # name from the ladder, if built via from_defined
@@ -116,6 +118,10 @@ class TrainConfig:
     augment_timeout: bool = False
     patience: int = 8
     precision: str = 'bf16'             # compute precision: 'bf16' | 'fp32'
+    adam_mu_dtype: Optional[str] = None  # dtype of Adam's first moment
+                                        # ('bfloat16' halves its HBM traffic;
+                                        # None = param dtype; second moment
+                                        # stays f32 for stability)
     log_per_epoch: bool = False
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end

@@ -8,8 +8,9 @@ head with optional per-label loss weighting (ecg_vit.py:144-148), and the
 debug/tiny/small/base/large ladder via ``VitConfig.from_defined``.
 
 TPU-native choices: bfloat16 activations with float32 LayerNorm/softmax/loss,
-the blockwise Pallas attention kernel (ops/attention.py) on the
-dropout-inactive path, static shapes throughout, and an optional
+the blockwise Pallas attention kernel (ops/attention.py) on both the eval and
+the dropout-active training paths (in-kernel hashed dropout mask), static
+shapes throughout, and an optional
 ``return_attention`` forward for the attention-rollout visualizer
 (utils/rollout.py; reference ecg_vit.py:164-265 uses a Recorder hook instead).
 """
@@ -80,7 +81,8 @@ class SelfAttention(nn.Module):
                 q, k, v,
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic, dropout_rng=rng,
-                use_flash=cfg.use_flash_attention)
+                use_flash=cfg.use_flash_attention,
+                interpret=cfg.flash_interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)

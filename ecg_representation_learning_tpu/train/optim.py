@@ -41,8 +41,9 @@ def make_optimizer(cfg: TrainConfig, total_steps: int
                    ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     ca(optimizer=cfg.optimizer)
     sched = make_schedule(cfg, total_steps)
+    mu_dtype = cfg.adam_mu_dtype  # e.g. 'bfloat16': halves m-moment HBM traffic
     if cfg.optimizer == 'AdamW':
-        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay, mu_dtype=mu_dtype)
     else:
-        opt = optax.adam(sched)
+        opt = optax.adam(sched, mu_dtype=mu_dtype)
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt), sched

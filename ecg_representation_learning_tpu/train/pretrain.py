@@ -48,15 +48,18 @@ class MaeTrainer:
                                'std': [1.0] * model_cfg.num_channels}
         self.mean = jnp.asarray(stats['mean'], jnp.float32)
         self.std = jnp.asarray(stats['std'], jnp.float32)
-        self.mesh = mesh if mesh is not None else make_mesh(n_model=train_cfg.mesh_model)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_data=train_cfg.mesh_data, n_model=train_cfg.mesh_model)
         self.output_dir = output_dir or os.path.join('runs', 'mae')
         n_train = len(train_data) if train_data is not None else 1
-        self.steps_per_epoch = max(1, n_train // train_cfg.train_batch_size)
-        self.total_steps = self.steps_per_epoch * train_cfg.num_train_epoch
+        self.steps_per_epoch = train_cfg.steps_per_epoch(n_train)
+        self.total_steps = train_cfg.total_steps(n_train)
         self.optimizer, self.schedule = make_optimizer(train_cfg, self.total_steps)
         self.state: Optional[TrainState] = None
         self.epoch = 0
+        self._host_step = 0   # mirrors state.step without per-step device syncs
         self._train_step = None
+        self._eval_step = None
         self.logger = get_logger('EcgMae Pretrain')
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -83,7 +86,11 @@ class MaeTrainer:
         def train_step(state: TrainState, sig):
             rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            # crop after the always-pad quirk: inputs already a patch multiple
+            # gain a zero patch (transform.py:148-151) that would exceed the
+            # model's pos-embedding budget
             sig = _prep_batch(sig, mean, std, patch, train=False)
+            sig = sig[..., :self.model_cfg.max_signal_length]
 
             def loss_fn(params):
                 out = model.apply(params, sig, deterministic=False,
@@ -99,13 +106,70 @@ class MaeTrainer:
             return new_state, {'loss': loss,
                                'learning_rate': self.schedule(state.step)}
 
+        def eval_step(params, sig, mask_rng):
+            sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            sig = _prep_batch(sig, mean, std, patch, train=False)
+            sig = sig[..., :self.model_cfg.max_signal_length]
+            out = model.apply(params, sig, mask_rng=mask_rng, deterministic=True)
+            return out.loss
+
         with self.mesh:
             self._train_step = jax.jit(train_step, donate_argnums=(0,),
                                        in_shardings=(None, bsharding))
+            self._eval_step = jax.jit(eval_step,
+                                      in_shardings=(None, bsharding, None))
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, tag: str = 'final') -> str:
+        from .checkpoint import save_checkpoint
+        path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
+        save_checkpoint(path, self.state, extra={'epoch': self.epoch})
+        self.logger.info(f'Checkpoint saved to {path}')
+        return path
+
+    def load_checkpoint(self, path: str):
+        from .checkpoint import restore_checkpoint
+        if self.state is None:
+            self.init_state()
+        self.state, extra = restore_checkpoint(path, self.state)
+        self.epoch = int(extra.get('epoch', 0))
+        self._host_step = int(self.state.step)  # one sync at restore is fine
+        return self.state
+
+    def latest_checkpoint(self) -> Optional[str]:
+        import glob as globlib
+        cands = [p for p in globlib.glob(os.path.join(self.output_dir, 'ckpt-*'))
+                 if os.path.isdir(p)]
+        return max(cands, key=os.path.getmtime) if cands else None
+
+    def evaluate(self, data: Optional[SplitData] = None, seed: int = 0) -> float:
+        """Held-out masked-reconstruction loss with a FIXED mask rng, so eval
+        numbers are comparable across epochs/runs."""
+        data = data if data is not None else self.eval_data
+        assert data is not None and len(data) > 0, 'no eval data'
+        if self._eval_step is None:
+            self._build_step()
+        if self.state is None:
+            self.init_state()
+        bsz = self.cfg.eval_batch_size
+        losses = []
+        rng = jax.random.PRNGKey(seed)
+        n = (len(data) // bsz) * bsz or min(len(data), bsz)
+        for i in range(0, n, bsz):
+            sig = jnp.asarray(data.signals[i:i + bsz])
+            if sig.shape[0] < bsz:
+                break
+            rng, mask_rng = jax.random.split(rng)
+            with self.mesh:
+                losses.append(float(self._eval_step(self.state.params, sig,
+                                                    mask_rng)))
+        return float(np.mean(losses))
 
     def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
                      log_every: int = 50,
-                     wire_scale: Optional[float] = None) -> Dict[str, Any]:
+                     wire_scale: Optional[float] = None,
+                     ckpt_every: int = 0,
+                     resume: bool = False) -> Dict[str, Any]:
         """Streaming pretrain over an iterator of raw (B, C, L) host batches
         (e.g. :class:`data.pipeline.ShardedRecordStream` over CinC21 +
         MIMIC-IV-ECG shards -- BASELINE.json config 5).
@@ -121,14 +185,31 @@ class MaeTrainer:
         device as ``counts / wire_scale`` -- halving host->HBM traffic, which
         dominates on bandwidth-constrained hosts (StepTimer's input_fraction
         shows when this matters).
+
+        ``ckpt_every``: save an orbax checkpoint every N steps (0 = never) --
+        multi-day streaming runs survive crashes.  ``resume=True`` restores
+        the latest checkpoint under output_dir and, for a deterministic
+        stream, skips the already-consumed batches so the continued run is
+        bit-identical to an uninterrupted one (the resumable-export ethos of
+        the reference, DataExport.m:28-44, applied to the pretrain loop).
         """
         import itertools
 
         from ..ops.preprocess import fused_train_path
         from ..utils.misc import StepTimer
         cfg = self.cfg
+        start_step = 0
+        if resume:
+            path = self.latest_checkpoint()
+            if path:
+                self.load_checkpoint(path)
+                start_step = int(self.state.step)
+                self.logger.info(f'Resumed streaming pretrain from {path} '
+                                 f'(step {start_step})')
         if self.state is None:
             self.init_state()
+        if ckpt_every:
+            os.makedirs(self.output_dir, exist_ok=True)
         mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
         bsharding = batch_sharding(self.mesh)
 
@@ -143,6 +224,7 @@ class MaeTrainer:
                 sig = sig[..., :self.model_cfg.max_signal_length]
             else:
                 sig = _prep_batch(sig, mean, std, patch, train=False)
+                sig = sig[..., :self.model_cfg.max_signal_length]
 
             def loss_fn(params):
                 out = self.model.apply(params, sig, deterministic=False,
@@ -161,22 +243,37 @@ class MaeTrainer:
                               in_shardings=(None, bsharding))
         timer = StepTimer()
         last_loss = float('nan')
-        for i, batch in enumerate(itertools.islice(batches, total_steps)):
+        host_step = start_step
+        for batch in itertools.islice(batches, start_step, total_steps):
             sig = jnp.asarray(batch)
             timer.input_done()
             with self.mesh:
                 self.state, loss = step_fn(self.state, sig)
             timer.step_done()
-            if (i + 1) % log_every == 0 or i + 1 == total_steps:
+            host_step += 1
+            if host_step % log_every == 0 or host_step == total_steps:
                 last_loss = float(loss)
-                self.logger.info({'pretrain/loss': last_loss, 'step': int(self.state.step),
+                self.logger.info({'pretrain/loss': last_loss, 'step': host_step,
                                   **timer.summary()})
-        return {'loss': last_loss, 'steps': int(self.state.step),
+            if ckpt_every and host_step % ckpt_every == 0:
+                self.save_checkpoint(tag='stream-latest')
+        self._host_step = host_step
+        if ckpt_every:
+            self.save_checkpoint(tag='stream-latest')
+        return {'loss': last_loss, 'steps': host_step,
                 'timer': timer.summary()}
 
-    def train(self) -> Dict[str, Any]:
+    def train(self, resume: bool = False) -> Dict[str, Any]:
+        """Epoch-loop pretraining with eval epochs, early stopping, periodic /
+        best / final checkpoints, and checkpoint-based resume -- the same
+        failure-recovery surface as the supervised Trainer (trainer.py)."""
         cfg = self.cfg
         os.makedirs(self.output_dir, exist_ok=True)
+        if resume:
+            path = resume if isinstance(resume, str) else self.latest_checkpoint()
+            if path:
+                self.load_checkpoint(path)
+                self.logger.info(f'Resumed from {path} (epoch {self.epoch})')
         tb = TbWriter(os.path.join(self.output_dir, 'tb'))
         if self.state is None:
             self.init_state()
@@ -186,7 +283,9 @@ class MaeTrainer:
         n = len(self.train_data)
         t0 = time.time()
         last_loss = None
-        for _ in range(cfg.num_train_epoch):
+        best_eval_loss, n_bad_ep = float('inf'), 0
+        eval_history = []
+        for _ in range(self.epoch, cfg.num_train_epoch):
             self.epoch += 1
             idx = np.arange(n)
             host_rng.shuffle(idx)
@@ -196,7 +295,8 @@ class MaeTrainer:
                 with self.mesh:
                     self.state, metrics = self._train_step(
                         self.state, jnp.asarray(self.train_data.signals[take]))
-                step = int(self.state.step)
+                self._host_step += 1
+                step = self._host_step
                 if step % max(1, self.steps_per_epoch // 4) == 0:
                     last_loss = float(metrics['loss'])
                     payload = {'pretrain/loss': last_loss,
@@ -204,13 +304,31 @@ class MaeTrainer:
                                'epoch': self.epoch, 'step': step}
                     self.logger.info(str(payload))
                     tb.log(payload, step)
+            if cfg.save_every_n_epoch and self.epoch % cfg.save_every_n_epoch == 0:
+                self.save_checkpoint(tag=f'ep{self.epoch}')
+            if cfg.do_eval and self.eval_data is not None and len(self.eval_data):
+                ev = self.evaluate()
+                eval_history.append(ev)
+                payload = {'pretrain/eval_loss': ev, 'epoch': self.epoch,
+                           'step': self._host_step}
+                self.logger.info(str(payload))
+                tb.log(payload, self._host_step)
+                if ev < best_eval_loss:
+                    best_eval_loss, n_bad_ep = ev, 0
+                    self.save_checkpoint(tag='best')
+                else:
+                    n_bad_ep += 1
+                if n_bad_ep >= cfg.patience:
+                    self.logger.info(f'Pretraining stopped early at epoch '
+                                     f'{self.epoch} (patience {cfg.patience})')
+                    break
         tb.close()
         if last_loss is None and self.state is not None:
             last_loss = float('nan')
-        from .checkpoint import save_checkpoint
-        path = os.path.join(os.path.abspath(self.output_dir), 'ckpt-final')
-        save_checkpoint(path, self.state, extra={'epoch': self.epoch})
+        path = self.save_checkpoint(tag='final')
         return {'loss': last_loss, 'epochs': self.epoch,
+                'eval_history': eval_history,
+                'best_eval_loss': best_eval_loss if eval_history else None,
                 'seconds': time.time() - t0, 'checkpoint': path}
 
 

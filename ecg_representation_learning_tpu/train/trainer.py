@@ -85,11 +85,9 @@ class Trainer:
         mesh=None,
         name: str = 'EcgVit',
     ):
-        if train_cfg.mesh_model > 1 and model_cfg.use_flash_attention:
-            # pallas_call has no SPMD partitioning rules; under tensor
-            # parallelism XLA would force gathers around the kernel -- use the
-            # XLA attention path (negligible at 41 tokens) when TP is on
-            model_cfg = dataclasses.replace(model_cfg, use_flash_attention=False)
+        # under tensor parallelism the flash kernel stays ACTIVE: attention()
+        # routes through a shard_map wrap (flash_tp_context in _build_steps)
+        # since pallas_call has no GSPMD partitioning rules of its own
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.model = EcgVit(model_cfg)
@@ -156,10 +154,18 @@ class Trainer:
         return self.state
 
     def _build_steps(self):
+        import contextlib
+
+        from ..ops.attention import flash_tp_context
         model, cfg = self.model, self.cfg
         mean, std = self.mean, self.std
         patch = self.model_cfg.patch_size
         bsharding = batch_sharding(self.mesh)
+        if (self.mesh.shape.get('model', 1) > 1
+                and self.model_cfg.use_flash_attention):
+            tp_ctx = lambda: flash_tp_context(self.mesh)
+        else:
+            tp_ctx = contextlib.nullcontext
 
         def train_step(state: TrainState, sig, lab, nonfinite_count):
             rng, to_rng, do_rng = jax.random.split(state.rng, 3)
@@ -168,9 +174,11 @@ class Trainer:
                               rng=to_rng)
 
             def loss_fn(params):
-                out = model.apply(params, sig, labels=lab, deterministic=False,
-                                  loss_weight=cfg.loss_weight,
-                                  rngs={'dropout': do_rng})
+                with tp_ctx():   # trace-time: shard_map-wrap the flash kernel
+                    out = model.apply(params, sig, labels=lab,
+                                      deterministic=False,
+                                      loss_weight=cfg.loss_weight,
+                                      rngs={'dropout': do_rng})
                 return out.loss, out.logits
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -196,7 +204,8 @@ class Trainer:
         def eval_step(params, sig, lab):
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=False)
-            out = model.apply(params, sig, labels=lab, loss_reduction='none')
+            with tp_ctx():
+                out = model.apply(params, sig, labels=lab, loss_reduction='none')
             probs = jax.nn.sigmoid(out.logits.astype(jnp.float32))
             return out.loss, probs
 

@@ -18,7 +18,7 @@ def test_blocked_backward_parity(rng, t):
     with jax.default_matmul_precision('highest'):
         g_ref = jax.grad(lambda a, b, c: (_attn_reference(a, b, c, 0.125) ** 2).sum(),
                          argnums=(0, 1, 2))(q, k, v)
-        g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, None, 128, 128,
+        g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, 0, None, 128, 128,
                                                          True) ** 2).sum(),
                         argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_fl):
@@ -32,5 +32,5 @@ def test_short_seq_uses_recompute_path(rng):
     q, k, v = [jnp.asarray(rng.standard_normal((1, 2, 41, 64)), dtype=jnp.float32)
                for _ in range(3)]
     with jax.default_matmul_precision('highest'):
-        g = jax.grad(lambda a: (flash_attention(a, k, v, None, 128, 128, True) ** 2).sum())(q)
+        g = jax.grad(lambda a: (flash_attention(a, k, v, 0, None, 128, 128, True) ** 2).sum())(q)
     assert np.isfinite(np.asarray(g)).all()

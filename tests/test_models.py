@@ -116,7 +116,7 @@ def test_flash_attention_parity(rng, t, d):
                for _ in range(3)]
     with jax.default_matmul_precision('highest'):
         want = _attn_reference(q, k, v, 1.0 / np.sqrt(d))
-        got = flash_attention(q, k, v, None, 128, 128, True)  # interpret mode
+        got = flash_attention(q, k, v, 0, None, 128, 128, True)  # interpret mode
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -126,7 +126,7 @@ def test_flash_attention_grad_parity(rng):
     with jax.default_matmul_precision('highest'):
         g_ref = jax.grad(lambda a, b, c: (_attn_reference(a, b, c, 0.125) ** 2).sum(),
                          argnums=(0, 1, 2))(q, k, v)
-        g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, None, 128, 128, True) ** 2).sum(),
+        g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, 0, None, 128, 128, True) ** 2).sum(),
                         argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
