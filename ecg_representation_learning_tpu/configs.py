@@ -37,10 +37,24 @@ class VitConfig:
                                     # see models/port.py)
     dtype: str = 'float32'          # compute dtype for activations ('bfloat16' on TPU)
     use_flash_attention: bool = True
+    flash_min_seq: int = 128        # below this sequence length dispatch XLA
+                                    # attention instead of the Pallas kernel:
+                                    # at 41 tokens the kernel's 128-padded
+                                    # blocks lose to XLA's exact einsums
+                                    # (measured, PERF.md); at T>=1k the kernel
+                                    # wins by orders of magnitude.  0 = always
+                                    # use the kernel.
     flash_interpret: bool = False   # run the Pallas kernel in interpreter mode
                                     # (CPU-mesh tests of the kernel path)
     remat: bool = False             # jax.checkpoint each block (memory for FLOPs
                                     # -- long-record pretraining / large models)
+    scan_blocks: bool = False       # lax.scan over the transformer stack:
+                                    # params stacked (L, ...), one traced block
+                                    # -- shrinks the XLA program ~L-fold (fast
+                                    # compiles; large batches clear the remote
+                                    # compiler's size limit).  Param tree is
+                                    # NOT checkpoint-compatible with the
+                                    # unrolled layout (block_i vs blocks).
     size: Optional[str] = None      # name from the ladder, if built via from_defined
 
     @property

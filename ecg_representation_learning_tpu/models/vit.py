@@ -82,6 +82,7 @@ class SelfAttention(nn.Module):
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic, dropout_rng=rng,
                 use_flash=cfg.use_flash_attention,
+                min_seq=cfg.flash_min_seq,
                 interpret=cfg.flash_interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
@@ -149,11 +150,22 @@ class EcgVitEncoder(nn.Module):
         if cfg.remat and not return_attention:
             # rematerialize each block's activations in the backward pass
             block_cls = nn.remat(Block, static_argnums=(2, 3))
-        for i in range(cfg.num_hidden_layers):
-            h, probs = block_cls(cfg, name=f'block_{i}')(h, deterministic,
-                                                         return_attention)
-            if return_attention:
-                attn_maps.append(probs)
+        if cfg.scan_blocks and not return_attention:
+            # one traced block, params stacked (L, ...): the XLA program is
+            # ~L x smaller (fast remote compiles, big batches fit the
+            # compiler's size limit); sharding rules handle the extra axis
+            scan_block = nn.scan(
+                block_cls, variable_axes={'params': 0},
+                split_rngs={'params': True, 'dropout': True},
+                length=cfg.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast))
+            h, _ = scan_block(cfg, name='blocks')(h, deterministic, False)
+        else:
+            for i in range(cfg.num_hidden_layers):
+                h, probs = block_cls(cfg, name=f'block_{i}')(h, deterministic,
+                                                             return_attention)
+                if return_attention:
+                    attn_maps.append(probs)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='final_norm')(h)
         if return_attention:
             return h, jnp.stack(attn_maps, axis=0)  # (L, B, H, T, T)

@@ -530,16 +530,19 @@ def flash_attention_sharded(q, k, v, mesh, batch_axis: str = 'data',
 
 
 def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
-              dropout_rng=None, use_flash: bool = True, interpret: bool = False):
-    """Dispatch: Pallas kernel whenever flash is enabled -- including
-    dropout-active training (in-kernel hashed mask; reference semantics:
-    dropout on attention probabilities, ecg_vit.py:113 via vit-pytorch) and
-    tensor-parallel runs (shard_map wrap under ``flash_tp_context``).
-    XLA fallback on CPU/GPU or when use_flash=False."""
+              dropout_rng=None, use_flash: bool = True, interpret: bool = False,
+              min_seq: int = 0):
+    """Dispatch: Pallas kernel whenever flash is enabled and T >= ``min_seq``
+    -- including dropout-active training (in-kernel hashed mask; reference
+    semantics: dropout on attention probabilities, ecg_vit.py:113 via
+    vit-pytorch) and tensor-parallel runs (shard_map wrap under
+    ``flash_tp_context``).  XLA fallback on CPU/GPU, when use_flash=False, or
+    below ``min_seq`` (the kernel's 128-padded blocks lose to exact einsums
+    at tiny T -- measured in PERF.md)."""
     scale = 1.0 / np.sqrt(q.shape[-1])
     on_tpu = jax.default_backend() not in ('cpu', 'gpu')  # tpu / axon tunnel
     active = (not deterministic) and dropout_rate > 0.0
-    if use_flash and (on_tpu or interpret):
+    if use_flash and q.shape[2] >= min_seq and (on_tpu or interpret):
         if active:
             # 31-bit non-negative seed (int32-safe for SMEM)
             seed = (jax.random.bits(dropout_rng, (), jnp.uint32) >> 1

@@ -60,6 +60,11 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
 def param_spec(path: str, ndim: int) -> P:
     for pattern, spec in _PARAM_RULES:
         if re.search(pattern, path):
+            if ndim == len(spec) + 1:
+                # scan-over-layers stacking (VitConfig.scan_blocks): kernels
+                # carry a leading (L,) axis -- keep it replicated, shift the
+                # rule onto the original dims
+                return P(None, *spec)
             if len([a for a in spec if a is not None]) <= ndim:
                 return spec
     return P()  # replicated

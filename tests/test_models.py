@@ -184,3 +184,33 @@ def test_mae_loss_only_on_masked(rng):
     per_patch = ((pred - target) ** 2).mean(-1)
     loss = (per_patch * mask).sum() / mask.sum()
     assert float(loss) == 0.0
+
+
+def test_scan_blocks_variant(rng):
+    # lax.scan over the transformer stack: stacked (L, ...) params, same
+    # forward contract; sharding rules keep the layer axis replicated
+    import jax
+    from ecg_representation_learning_tpu.configs import VitConfig
+    from ecg_representation_learning_tpu.models.vit import EcgVit, create_vit
+    from ecg_representation_learning_tpu.parallel import make_mesh, param_shardings
+    cfg = VitConfig.from_defined('debug', max_signal_length=256, patch_size=32,
+                                 use_flash_attention=False, scan_blocks=True)
+    model, params = create_vit(cfg, jax.random.PRNGKey(0))
+    blocks = params['params']['encoder']['blocks']
+    assert blocks['attn']['qkv']['kernel'].shape[0] == cfg.num_hidden_layers
+    x = jnp.asarray(rng.standard_normal((2, 12, 256)), jnp.float32)
+    lab = jnp.zeros((2, cfg.num_class), jnp.float32)
+    out = model.apply(params, x, labels=lab)
+    assert out.logits.shape == (2, cfg.num_class)
+    assert np.isfinite(float(out.loss))
+    # grads flow through the scan
+    g = jax.grad(lambda p: model.apply(p, x, labels=lab,
+                                       deterministic=False,
+                                       rngs={'dropout': jax.random.PRNGKey(1)}).loss)(params)
+    gk = g['params']['encoder']['blocks']['attn']['qkv']['kernel']
+    assert np.abs(np.asarray(gk)).max() > 0
+    # TP sharding rules: layer axis replicated, feature axis on 'model'
+    mesh = make_mesh(n_data=4, n_model=2)
+    sh = param_shardings(params, mesh)
+    spec = sh['params']['encoder']['blocks']['attn']['qkv']['kernel'].spec
+    assert tuple(spec) == (None, None, 'model'), spec

@@ -220,7 +220,7 @@ def test_tensor_parallel_flash_kernel_active(tmp_path, monkeypatch):
     splits = gps(signals, labels, folds)
     model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
                                        use_flash_attention=True,
-                                       flash_interpret=True)
+                                       flash_interpret=True, flash_min_seq=0)
     cfg = TrainConfig(num_train_epoch=1, train_batch_size=16, eval_batch_size=16,
                       mesh_model=2, do_eval=False)
     tr = Trainer(model_cfg, cfg, train_data=splits.train, mesh=mesh,
