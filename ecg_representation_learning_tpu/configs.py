@@ -132,6 +132,12 @@ class TrainConfig:
     augment_timeout: bool = False
     patience: int = 8
     precision: str = 'bf16'             # compute precision: 'bf16' | 'fp32'
+    prng_impl: str = 'rbg'              # JAX PRNG implementation for the run:
+                                        # 'rbg' uses the hardware RngBitGenerator
+                                        # (threefry dropout masks cost 4.3 ms on
+                                        # a 26 ms ViT-base step -- PERF.md);
+                                        # 'threefry2x32' for cross-platform
+                                        # reproducible streams
     adam_mu_dtype: Optional[str] = None  # dtype of Adam's first moment
                                         # ('bfloat16' halves its HBM traffic;
                                         # None = param dtype; second moment

@@ -50,6 +50,7 @@ class MaeTrainer:
         self.std = jnp.asarray(stats['std'], jnp.float32)
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=train_cfg.mesh_data, n_model=train_cfg.mesh_model)
+        jax.config.update('jax_default_prng_impl', train_cfg.prng_impl)
         self.output_dir = output_dir or os.path.join('runs', 'mae')
         n_train = len(train_data) if train_data is not None else 1
         self.steps_per_epoch = train_cfg.steps_per_epoch(n_train)

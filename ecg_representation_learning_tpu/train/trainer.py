@@ -101,6 +101,7 @@ class Trainer:
             n_data=train_cfg.mesh_data, n_model=train_cfg.mesh_model)
         if train_cfg.jax_debug_nans:
             jax.config.update('jax_debug_nans', True)
+        jax.config.update('jax_default_prng_impl', train_cfg.prng_impl)
         self.name = name
         self.save_time = datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S')
         self.output_dir = output_dir or os.path.join('runs', self.save_time)
