@@ -47,6 +47,36 @@ def _strip_ext(path: str, ext: Optional[str]) -> str:
     return path[:-len(ext)] if ext else path
 
 
+def _wfdb_native_batch(paths: Sequence[str], ext: Optional[str],
+                       n_workers: int) -> Optional[List[np.ndarray]]:
+    """Threaded C++ fast path for a homogeneous fmt-16 batch (incl. the
+    '16+offset' CinC .mat layout); None when not applicable -> Python path."""
+    from .native import native_available, read_records_16_batch
+    if not native_available():
+        return None
+    hdrs = [read_header(_strip_ext(p, ext) + '.hea') for p in paths]
+    h0 = hdrs[0]
+    if not all(h.n_sig == h0.n_sig and h.n_samples == h0.n_samples
+               for h in hdrs):
+        return None
+    specs = [s for h in hdrs for s in h.signals]
+    if not all(s.fmt == 16 and s.samples_per_frame == 1 for s in specs):
+        return None
+    if any(len({s.file_name for s in h.signals}) != 1 for h in hdrs):
+        return None   # multi-.dat records: generic path
+    gains = np.array([[s.gain for s in h.signals] for h in hdrs], np.float64)
+    baselines = np.array([[s.baseline for s in h.signals] for h in hdrs],
+                         np.int32)
+    offsets = np.array([h.signals[0].byte_offset for h in hdrs], np.int64)
+    files = [os.path.join(os.path.dirname(_strip_ext(p, ext)),
+                          h.signals[0].file_name)
+             for p, h in zip(paths, hdrs)]
+    batch = read_records_16_batch(files, h0.n_sig, h0.n_samples, gains,
+                                  baselines, offsets=offsets,
+                                  n_threads=n_workers)
+    return None if batch is None else list(batch)
+
+
 def _batch_reader(dataset_key: str, paths: Sequence[str], n_workers: int = 8
                   ) -> Tuple[int, Callable[[int, int], List[np.ndarray]]]:
     """(n_records, read_batch(i0, i1)) -- never materializes the full corpus."""
@@ -55,11 +85,18 @@ def _batch_reader(dataset_key: str, paths: Sequence[str], n_workers: int = 8
         rd = BulkHdf5Reader(paths[0])
         return len(rd), lambda i0, i1: [rd[i] for i in range(i0, i1)]
     if meta.reader == 'csv':
-        reader = read_csv_record
-    else:
-        ext = meta.rec_ext
-        reader = lambda p: read_record(_strip_ext(p, ext))[0]
-    return len(paths), lambda i0, i1: read_many(paths[i0:i1], reader, n_workers)
+        return len(paths), lambda i0, i1: read_many(paths[i0:i1],
+                                                    read_csv_record, n_workers)
+    ext = meta.rec_ext
+
+    def read_batch(i0: int, i1: int) -> List[np.ndarray]:
+        fast = _wfdb_native_batch(paths[i0:i1], ext, n_workers)
+        if fast is not None:
+            return fast
+        return read_many(paths[i0:i1],
+                         lambda p: read_record(_strip_ext(p, ext))[0], n_workers)
+
+    return len(paths), read_batch
 
 
 def _probe_max_len(dataset_key: str, paths: Sequence[str]) -> int:

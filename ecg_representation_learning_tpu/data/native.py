@@ -46,9 +46,10 @@ def load_native():
     lib.dig2phys.argtypes = [i32p, ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
                              ctypes.c_int32, ctypes.c_int32, f32p]
     lib.dig2phys.restype = None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS')
     lib.read_records_16.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
-        f64p, i32p, f32p, ctypes.c_int32]
+        f64p, i32p, i64p, f32p, ctypes.c_int32]
     lib.read_records_16.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
@@ -75,11 +76,13 @@ def decode_fmt(raw: bytes, fmt: int, n_values: int) -> Optional[np.ndarray]:
 
 def read_records_16_batch(paths: Sequence[str], n_ch: int, n_samples: int,
                           gains: np.ndarray, baselines: np.ndarray,
+                          offsets: Optional[np.ndarray] = None,
                           n_threads: int = 8) -> Optional[np.ndarray]:
     """Threaded batch read of same-shape fmt-16 records -> (N, C, L) float32.
 
-    None when the native library isn't built (caller falls back to the
-    Python thread-pool reader).
+    ``offsets``: optional per-record leading byte counts to skip (the CinC
+    ``16+24`` .mat layout).  None when the native library isn't built (caller
+    falls back to the Python thread-pool reader).
     """
     lib = load_native()
     if lib is None:
@@ -87,10 +90,13 @@ def read_records_16_batch(paths: Sequence[str], n_ch: int, n_samples: int,
     n = len(paths)
     out = np.empty((n, n_ch, n_samples), np.float32)
     blob = b'\0'.join(p.encode() for p in paths) + b'\0'
+    if offsets is None:
+        offsets = np.zeros(n, np.int64)
     got = lib.read_records_16(
         blob, n, n_ch, n_samples,
         np.ascontiguousarray(gains, np.float64).reshape(n, n_ch),
         np.ascontiguousarray(baselines, np.int32).reshape(n, n_ch),
+        np.ascontiguousarray(offsets, np.int64).reshape(n),
         out, n_threads)
     if got != n:
         return None

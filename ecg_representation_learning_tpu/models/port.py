@@ -143,6 +143,55 @@ def port_vit_pytorch_state_dict(state_dict: Mapping[str, object],
     return {'params': params}
 
 
+def export_vit_pytorch_state_dict(params, cfg: VitConfig,
+                                  wrapper_prefix: bool = True) -> Dict[str, Array]:
+    """Inverse of :func:`port_vit_pytorch_state_dict`: flax ``EcgVit`` params
+    -> a vit-pytorch-0.33.2 state_dict (numpy values; pass through
+    ``torch.from_numpy`` to load into the reference ``EcgVit``).
+
+    ``wrapper_prefix=True`` emits the reference wrapper's ``vit.`` key prefix
+    (EcgVit.vit, ecg_vit.py:116) so ``model.load_state_dict(...)`` works
+    directly.  Round-trip tested (tests/test_weight_port.py).
+    """
+    if cfg.patch_norm:
+        raise ValueError('only patch_norm=False models map onto the '
+                         'vit-pytorch 0.33.2 layout')
+    p = params['params'] if 'params' in params else params
+    enc = p['encoder']
+    d, c, ps = cfg.hidden_size, cfg.num_channels, cfg.patch_size
+    out: Dict[str, Array] = {}
+
+    def put(key: str, arr):
+        out[('vit.' if wrapper_prefix else '') + key] = np.asarray(arr, np.float32)
+
+    w = np.asarray(enc['patch_embed']['proj']['kernel'], np.float32)
+    # (C*P, dim) rows ordered (channel, time) -> (dim, P*C) cols ordered (time, channel)
+    put('to_patch_embedding.1.weight',
+        w.reshape(c, ps, d).transpose(2, 1, 0).reshape(d, ps * c))
+    put('to_patch_embedding.1.bias', enc['patch_embed']['proj']['bias'])
+    put('cls_token', enc['cls_token'])
+    put('pos_embedding', enc['pos_embed'])
+    for i in range(cfg.num_hidden_layers):
+        b = enc[f'block_{i}']
+        pre = f'transformer.layers.{i}'
+        put(f'{pre}.0.norm.weight', b['norm1']['scale'])
+        put(f'{pre}.0.norm.bias', b['norm1']['bias'])
+        put(f'{pre}.0.fn.to_qkv.weight', np.asarray(b['attn']['qkv']['kernel']).T)
+        put(f'{pre}.0.fn.to_out.0.weight', np.asarray(b['attn']['out']['kernel']).T)
+        put(f'{pre}.0.fn.to_out.0.bias', b['attn']['out']['bias'])
+        put(f'{pre}.1.norm.weight', b['norm2']['scale'])
+        put(f'{pre}.1.norm.bias', b['norm2']['bias'])
+        put(f'{pre}.1.fn.net.0.weight', np.asarray(b['mlp']['fc1']['kernel']).T)
+        put(f'{pre}.1.fn.net.0.bias', b['mlp']['fc1']['bias'])
+        put(f'{pre}.1.fn.net.3.weight', np.asarray(b['mlp']['fc2']['kernel']).T)
+        put(f'{pre}.1.fn.net.3.bias', b['mlp']['fc2']['bias'])
+    put('mlp_head.0.weight', enc['final_norm']['scale'])
+    put('mlp_head.0.bias', enc['final_norm']['bias'])
+    put('mlp_head.1.weight', np.asarray(p['head']['kernel']).T)
+    put('mlp_head.1.bias', p['head']['bias'])
+    return out
+
+
 def load_reference_checkpoint(path: str, model_key: str = 'ecg-vit-base',
                               **overrides):
     """One call from a reference ``.pt`` state_dict file to a runnable flax

@@ -85,12 +85,15 @@ void dig2phys(const int32_t* dig, int64_t n, double gain, int32_t baseline,
 // ---- threaded batch reader for same-shape fmt-16 records --------------------
 //
 // paths: concatenated NUL-separated file paths (n_records of them).
-// Each file holds n_ch interleaved int16 channels of n_samples frames.
+// Each file holds n_ch interleaved int16 channels of n_samples frames,
+// preceded by offsets[i] bytes to skip (the CinC '.mat' corpora carry a
+// 24-byte MATLAB header before the samples -- '16+24' in the .hea dtype).
 // gains/baselines: per (record, channel).  Output: (n_records, n_ch, n_samples) f32.
 // Returns the number of records read successfully.
 int64_t read_records_16(const char* paths, int64_t n_records,
                         int32_t n_ch, int64_t n_samples,
                         const double* gains, const int32_t* baselines,
+                        const int64_t* offsets,
                         float* out, int32_t n_threads) {
     // split path list
     std::vector<const char*> path_v;
@@ -110,6 +113,11 @@ int64_t read_records_16(const char* paths, int64_t n_records,
             if (i >= n_records) return;
             FILE* f = fopen(path_v[i], "rb");
             if (!f) continue;
+            if (offsets && offsets[i] > 0 &&
+                fseek(f, (long)offsets[i], SEEK_SET) != 0) {
+                fclose(f);
+                continue;
+            }
             size_t got = fread(buf.data(), sizeof(int16_t), rec_elems, f);
             fclose(f);
             if ((int64_t)got < rec_elems) continue;

@@ -292,6 +292,9 @@ def test_export_combined_streams_batches(tmp_path, rng, monkeypatch):
         return real_read_many(paths, reader, n_workers)
 
     monkeypatch.setattr(export_mod, 'read_many', spy_read_many)
+    # force the generic Python reader so read_many sees every batch (the
+    # native fast path is covered by test_export_uses_native_fast_path...)
+    monkeypatch.setattr(export_mod, '_wfdb_native_batch', lambda *a, **k: None)
     out = export_mod.export_combined('PTB-XL', str(root), str(tmp_path / 'exp'),
                                      batch=bsz)
     # one probe call of size 1 plus ceil(13/4)=4 batches, none above bsz
@@ -358,3 +361,57 @@ def test_sharded_stream(tmp_path, rng):
     batches = list(stream)
     assert len(batches) == 6  # 3 shards x floor(20/8)=2
     assert all(b.shape == (8, 2, 32) for b in batches)
+
+
+def test_native_batch_reader_with_offsets(tmp_path, rng):
+    from ecg_representation_learning_tpu.data.native import (
+        native_available, read_records_16_batch)
+    if not native_available():
+        pytest.skip('native lib not built')
+    sigs = rng.standard_normal((3, 2, 50)).astype(np.float32)
+    paths = []
+    for i in range(3):
+        p = write_wfdb16_mat(tmp_path, f'o{i}', sigs[i], offset=24)
+        paths.append(p + '.mat')
+    gains = np.full((3, 2), 1000.0)
+    baselines = np.zeros((3, 2), np.int32)
+    out = read_records_16_batch(paths, 2, 50, gains, baselines,
+                                offsets=np.full(3, 24, np.int64), n_threads=2)
+    assert out is not None
+    np.testing.assert_allclose(out, sigs, atol=1e-3)
+
+
+def test_export_uses_native_fast_path_for_cinc_mat(tmp_path, rng, monkeypatch):
+    # the C++ threaded batch reader drives export for homogeneous 16+offset
+    # corpora (G12EC layout); output equals the generic Python reader path
+    from ecg_representation_learning_tpu.data.native import native_available
+    if not native_available():
+        pytest.skip('native lib not built')
+    root = tmp_path / 'c'
+    recdir = root / 'Georgia-12-Lead'
+    recdir.mkdir(parents=True)
+    sigs = (rng.standard_normal((6, 12, 500)) * 0.4).astype(np.float32)
+    for i in range(6):
+        write_wfdb16_mat(recdir, f'E{i:05d}', sigs[i], fs=500)
+    from ecg_representation_learning_tpu.data import export as export_mod
+    hits = []
+    real = export_mod._wfdb_native_batch
+
+    def spy(paths, ext, n_workers):
+        out = real(paths, ext, n_workers)
+        hits.append(out is not None)
+        return out
+
+    monkeypatch.setattr(export_mod, '_wfdb_native_batch', spy)
+    out = export_mod.export_combined('G12EC', str(root), str(tmp_path / 'e1'),
+                                     batch=4)
+    assert hits and all(hits), 'native fast path was not taken'
+    # parity with the generic path
+    monkeypatch.setattr(export_mod, '_wfdb_native_batch',
+                        lambda *a, **k: None)
+    out2 = export_mod.export_combined('G12EC', str(root), str(tmp_path / 'e2'),
+                                      batch=4)
+    import h5py
+    with h5py.File(out) as f1, h5py.File(out2) as f2:
+        # native path multiplies by (float)(1/gain): 1-ulp-level difference
+        np.testing.assert_allclose(f1['data'][:], f2['data'][:], atol=1e-6)

@@ -269,3 +269,26 @@ def test_load_reference_checkpoint_end_to_end(tmp_path):
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)).logits)
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_export_roundtrip_to_torch():
+    # flax -> torch state_dict -> torch forward matches flax forward; and a
+    # full round-trip (flax -> torch -> flax) is bit-exact
+    from ecg_representation_learning_tpu.models.port import (
+        export_vit_pytorch_state_dict)
+    cfg = TINY
+    _, fm, params = _torch_and_flax(cfg, seed=7)
+    sd_np = export_vit_pytorch_state_dict(params, cfg)
+    tm = TorchEcgVit(cfg).eval()
+    tm.load_state_dict({k: torch.from_numpy(v) for k, v in sd_np.items()},
+                       strict=True)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, cfg.num_channels, cfg.max_signal_length)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(fm.apply(params, jnp.asarray(x)).logits)
+    assert np.abs(got - want).max() < 1e-4
+
+    back = port_vit_pytorch_state_dict(sd_np, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
