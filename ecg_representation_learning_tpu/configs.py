@@ -46,6 +46,13 @@ class VitConfig:
                                     # use the kernel.
     flash_interpret: bool = False   # run the Pallas kernel in interpreter mode
                                     # (CPU-mesh tests of the kernel path)
+    ring_axis: Optional[str] = None  # context parallelism: when set, attention
+                                    # runs ring-sharded over this mesh axis
+                                    # (the module must be applied inside a
+                                    # shard_map with the sequence sharded over
+                                    # that axis -- train/long_record.py);
+                                    # attention-prob dropout is not applied on
+                                    # the ring path
     remat: bool = False             # jax.checkpoint each block (memory for FLOPs
                                     # -- long-record pretraining / large models)
     scan_blocks: bool = False       # lax.scan over the transformer stack:

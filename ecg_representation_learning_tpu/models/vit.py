@@ -68,6 +68,16 @@ class SelfAttention(nn.Module):
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]  # (B,H,T,D)
 
         probs = None
+        if cfg.ring_axis is not None:
+            # context parallelism: the sequence is sharded over cfg.ring_axis
+            # (we are inside a shard_map); K/V blocks ring around the mesh
+            from ..parallel.ring_attention import ring_attention_local
+            out = ring_attention_local(q, k, v, cfg.ring_axis)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
+            out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
+            out = nn.Dropout(cfg.hidden_dropout_prob)(out,
+                                                      deterministic=deterministic)
+            return out, None
         if return_probs:
             scale = 1.0 / np.sqrt(cfg.head_dim)
             logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,

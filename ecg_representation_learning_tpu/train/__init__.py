@@ -1,12 +1,16 @@
 """Training harness: optimizer, metrics, trainer loop, checkpointing."""
 from .optim import make_optimizer, make_schedule
-from .metrics import binary_stats, get_accuracy, multilabel_auroc, roc_auc
+from .metrics import (binary_stats, classification_report, get_accuracy,
+                      multilabel_auroc, per_class_recall, roc_auc)
 from .trainer import SplitData, Trainer, TrainState, get_all_setup
 from .checkpoint import restore_checkpoint, save_checkpoint
+from .long_record import EcgMim, RingPretrainer
 
 __all__ = [
     'make_optimizer', 'make_schedule',
-    'binary_stats', 'get_accuracy', 'multilabel_auroc', 'roc_auc',
+    'binary_stats', 'classification_report', 'get_accuracy',
+    'multilabel_auroc', 'per_class_recall', 'roc_auc',
     'SplitData', 'Trainer', 'TrainState', 'get_all_setup',
     'restore_checkpoint', 'save_checkpoint',
+    'EcgMim', 'RingPretrainer',
 ]
