@@ -37,6 +37,11 @@ def _add_common_train_flags(p):
     p.add_argument('--n-sample', type=int, default=None)
     p.add_argument('--bf16', action=argparse.BooleanOptionalAction, default=True,
                    help='bfloat16 activations (--no-bf16 for float32)')
+    p.add_argument('--patch-norm', action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help='LayerNorms around the patch projection; use '
+                        '--no-patch-norm for reference-layout checkpoints '
+                        '(ported .pt / their orbax conversions)')
 
 
 def _load_splits(args):
@@ -76,7 +81,7 @@ def _model_cfg_for(args):
     from .utils.check_args import ca
     ca(model_size=args.size)
     dtype = 'bfloat16' if args.bf16 else 'float32'
-    if getattr(args, 'port_checkpoint', None):
+    if getattr(args, 'port_checkpoint', None) or not getattr(args, 'patch_norm', True):
         return reference_vit_config(args.size, dtype=dtype)
     return VitConfig.from_defined(args.size, dtype=dtype)
 
@@ -120,19 +125,25 @@ def cmd_train(args):
 
 def cmd_pretrain(args):
     from .configs import MaeConfig, TrainConfig
+    from .registry import PTBXL_TRAIN_STATS
     from .train.pretrain import MaeTrainer
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
     mae_cfg = MaeConfig(mask_ratio=args.mask_ratio)
     cfg = TrainConfig(
         num_train_epoch=args.epochs, train_batch_size=args.batch_size,
-        learning_rate=args.lr, weight_decay=args.weight_decay,
-        schedule=args.schedule, warmup_ratio=args.warmup_ratio,
+        eval_batch_size=args.batch_size, learning_rate=args.lr,
+        weight_decay=args.weight_decay, schedule=args.schedule,
+        warmup_ratio=args.warmup_ratio, patience=args.patience,
         mesh_model=args.mesh_model, seed=args.seed)
     tr = MaeTrainer(model_cfg, mae_cfg, cfg, train_data=splits.train,
+                    eval_data=splits.eval,
+                    norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None,
                     output_dir=args.output_dir or 'runs/mae')
-    result = tr.train()
+    result = tr.train(resume=bool(getattr(args, 'resume_from', None))
+                      and args.resume_from)
     print(json.dumps({'pretrain_loss': result['loss'],
+                      'best_eval_loss': result.get('best_eval_loss'),
                       'checkpoint': result['checkpoint']}))
 
 
@@ -209,6 +220,22 @@ def cmd_tokenize(args):
                       'power_law_exponent': rf['exponent']}))
 
 
+def cmd_port(args):
+    """One-time conversion: reference torch EcgVit state_dict (.pt) -> an
+    orbax checkpoint usable with --checkpoint/--resume-from (no torch needed
+    afterwards)."""
+    from .configs import TrainConfig
+    from .train import Trainer
+    model_cfg = _model_cfg_for(args)  # --port-checkpoint forces patch_norm=False
+    tr = Trainer(model_cfg, TrainConfig(), output_dir=args.out)
+    tr.init_state()
+    _maybe_port(args, tr)
+    path = tr.save_checkpoint(tag='ported')
+    print(json.dumps({'checkpoint': path, 'size': args.size,
+                      'note': 'load with a patch_norm=False config '
+                              '(models.port.reference_vit_config)'}))
+
+
 def cmd_synth(args):
     from .data import synth_ptbxl, write_combined_hdf5
     import pandas as pd
@@ -254,7 +281,7 @@ def main(argv=None):
             sp.add_argument('--port-checkpoint', default=None, metavar='PT_FILE',
                             help='initialize from a reference torch EcgVit '
                                  'state_dict (.pt) via models/port.py')
-        if name == 'train':
+        if name in ('train', 'pretrain'):
             sp.add_argument('--resume-from', default=None)
         if name == 'pretrain':
             sp.add_argument('--mask-ratio', type=float, default=0.75)
@@ -279,6 +306,12 @@ def main(argv=None):
     pt.add_argument('--seed', type=int, default=77)
     pt.add_argument('--out', default='tokenizer.pickle')
     pt.set_defaults(fn=cmd_tokenize)
+
+    pp = sub.add_parser('port', help='torch EcgVit .pt -> orbax checkpoint')
+    _add_common_train_flags(pp)
+    pp.add_argument('--port-checkpoint', required=True, metavar='PT_FILE')
+    pp.add_argument('--out', default='ported')
+    pp.set_defaults(fn=cmd_port)
 
     ps = sub.add_parser('synth', help='write a synthetic PTB-XL-shaped corpus')
     ps.add_argument('--n', type=int, default=512)

@@ -15,11 +15,35 @@ from typing import Any, Dict, Optional
 _FMT = '%(asctime)s | %(name)s | %(levelname)s - %(message)s'
 _DATEFMT = '%Y-%m-%d %H:%M:%S'
 
+# severity-styled console output (reference MyTheme/MyFormatter,
+# util/util.py:346-441, without the colorama/sty dependencies)
+_LEVEL_COLOR = {
+    logging.DEBUG: '\x1b[2m',        # dim
+    logging.INFO: '\x1b[32m',        # green
+    logging.WARNING: '\x1b[33m',     # yellow
+    logging.ERROR: '\x1b[31m',       # red
+    logging.CRITICAL: '\x1b[1;31m',  # bold red
+}
+_RESET = '\x1b[0m'
+
+
+class AnsiFormatter(logging.Formatter):
+    """Colors the levelname by severity; used only on tty console sinks so
+    file logs stay plain (the reference keeps a separate plain formatter for
+    its file logger, util/util.py:446-455)."""
+
+    def format(self, record):
+        color = _LEVEL_COLOR.get(record.levelno, '')
+        record = logging.makeLogRecord(record.__dict__)
+        record.levelname = f'{color}{record.levelname}{_RESET}'
+        return super().format(record)
+
 
 def get_logger(name: str, file_path: Optional[str] = None,
                level: int = logging.INFO) -> logging.Logger:
     """Console logger; pass ``file_path`` for an additional plain file sink
     (the reference's 'file-write' logger type, util/util.py:444-462)."""
+    import sys
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
@@ -28,7 +52,9 @@ def get_logger(name: str, file_path: Optional[str] = None,
                        for h in logger.handlers)
     if not have_console:
         h = logging.StreamHandler()
-        h.setFormatter(logging.Formatter(_FMT, _DATEFMT))
+        fmt_cls = (AnsiFormatter if getattr(sys.stderr, 'isatty', lambda: False)()
+                   else logging.Formatter)
+        h.setFormatter(fmt_cls(_FMT, _DATEFMT))
         logger.addHandler(h)
     if file_path:
         if not any(isinstance(h, logging.FileHandler)

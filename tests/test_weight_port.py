@@ -292,3 +292,30 @@ def test_export_roundtrip_to_torch():
     back = port_vit_pytorch_state_dict(sd_np, cfg)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_port_to_orbax_then_evaluate(tmp_path, monkeypatch):
+    # one-time .pt -> orbax conversion, then evaluate from the orbax ckpt
+    import contextlib, io, json, os
+    cfg = reference_vit_config('ecg-vit-debug')
+    torch.manual_seed(5)
+    tm = TorchEcgVit(cfg)
+    pt = str(tmp_path / 'ref.pt')
+    torch.save(tm.state_dict(), pt)
+
+    from ecg_representation_learning_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(['--platform', 'cpu', 'port', '--size', 'debug', '--no-bf16',
+              '--port-checkpoint', pt, '--out', str(tmp_path / 'ported')])
+    ckpt = json.loads(buf.getvalue())['checkpoint']
+    assert os.path.isdir(ckpt)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(['--platform', 'cpu', 'evaluate', '--size', 'debug', '--no-bf16',
+              '--synth-n', '48', '--no-patch-norm',  # reference model layout
+              '--checkpoint', ckpt, '--out', str(tmp_path / 'ev')])
+    out = json.loads(buf.getvalue())
+    assert 'test' in out
