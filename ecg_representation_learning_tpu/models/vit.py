@@ -249,3 +249,18 @@ def create_vit(cfg: VitConfig, rng: jax.Array, signal_length: Optional[int] = No
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def unstack_scanned_params(params, num_layers: int):
+    """Convert a ``scan_blocks=True`` param tree (stacked ``blocks`` with a
+    leading (L,) axis) into the unrolled ``block_i`` layout, so scan-trained
+    checkpoints drive the unrolled model -- attention-rollout visualization
+    (return_attention needs per-layer modules) and the torch porter."""
+    had_wrapper = 'params' in params
+    p = dict(params['params'] if had_wrapper else params)
+    enc = dict(p['encoder'])
+    blocks = enc.pop('blocks')
+    for i in range(num_layers):
+        enc[f'block_{i}'] = jax.tree.map(lambda a, i=i: a[i], blocks)
+    p['encoder'] = enc
+    return {'params': p} if had_wrapper else p

@@ -214,3 +214,27 @@ def test_scan_blocks_variant(rng):
     sh = param_shardings(params, mesh)
     spec = sh['params']['encoder']['blocks']['attn']['qkv']['kernel'].spec
     assert tuple(spec) == (None, None, 'model'), spec
+
+
+def test_unstack_scanned_params_equivalence(rng):
+    # scanned and unrolled models compute the same function: unstacking a
+    # scan-trained param tree and applying the unrolled model reproduces the
+    # scanned model's logits exactly
+    import dataclasses
+    import jax
+    from ecg_representation_learning_tpu.configs import VitConfig
+    from ecg_representation_learning_tpu.models.vit import (
+        EcgVit, create_vit, unstack_scanned_params)
+    cfg = VitConfig.from_defined('debug', max_signal_length=256, patch_size=32,
+                                 use_flash_attention=False, scan_blocks=True)
+    model, params = create_vit(cfg, jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.standard_normal((2, 12, 256)), jnp.float32)
+    want = np.asarray(model.apply(params, x).logits)
+
+    flat_cfg = dataclasses.replace(cfg, scan_blocks=False)
+    flat_params = unstack_scanned_params(params, cfg.num_hidden_layers)
+    got = np.asarray(EcgVit(flat_cfg).apply(flat_params, x).logits)
+    np.testing.assert_array_equal(got, want)
+    # and the unrolled tree drives return_attention (rollout viz)
+    out = EcgVit(flat_cfg).apply(flat_params, x, return_attention=True)
+    assert out.attention.shape[0] == cfg.num_hidden_layers
