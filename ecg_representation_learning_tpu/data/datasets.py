@@ -211,16 +211,23 @@ def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500
     """
     rng = np.random.default_rng(seed)
     signals = synth_ecg(rng, n, length=length)
-    # derive a couple of learnable labels from signal properties
-    amp = np.abs(signals).mean(axis=(1, 2))
-    hr_proxy = (np.abs(np.diff(signals[:, 0], axis=-1)) > 0.15).sum(axis=-1)
+    # inject class-conditional morphology markers so the labels GENERALIZE
+    # (not just signal-statistic medians, which barely separate test folds):
+    # 'NORM' carries a 17 Hz oscillation, class 1 a slow baseline drift
+    t = np.arange(length, dtype=np.float32) / 250.0
+    tone = 0.35 * np.sin(2 * np.pi * 17.0 * t)
+    drift = 0.5 * np.sin(2 * np.pi * 0.7 * t)
+    has_tone = rng.uniform(size=n) < 0.5
+    has_drift = rng.uniform(size=n) < 0.5
+    signals[has_tone] += tone[None, None, :]
+    signals[has_drift] += drift[None, None, :]
     labels: List[List[int]] = []
     norm_id = PTBXL_ID2CODE.index('NORM')
     for i in range(n):
         lbs = set()
-        if amp[i] > np.median(amp):
+        if has_tone[i]:
             lbs.add(norm_id)
-        if hr_proxy[i] > np.median(hr_proxy):
+        if has_drift[i]:
             lbs.add(1)
         if rng.uniform() < 0.15:
             lbs.add(int(rng.integers(2, PTBXL_N_CLASS)))

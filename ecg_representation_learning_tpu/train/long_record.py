@@ -21,15 +21,14 @@ makes that "a config change" for real (SURVEY §2.3 design bar):
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..configs import TrainConfig, VitConfig
 from ..models.mae import patchify
