@@ -75,3 +75,60 @@ def test_transfer_encoder_and_probe(tmp_path):
         np.asarray(new_params['params']['encoder']['block_0']['attn']['qkv']['kernel']),
         np.asarray(merged['params']['encoder']['block_0']['attn']['qkv']['kernel']))
     assert head_moved and not trunk_moved
+
+
+def test_pretrain_transfer_probe_above_chance(tmp_path):
+    # functional transfer check: MAE-pretrain on the unlabeled corpus,
+    # transfer the trunk, train ONLY the linear head -- the probe must score
+    # well above chance on a marker class's TEST split.  (At this toy scale
+    # random-trunk features are also linearly separable for a strong tone, so
+    # no pretrained-beats-random margin is asserted -- that comparison only
+    # becomes meaningful at corpus scale.)
+    import optax
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.registry import PTBXL_ID2CODE
+    from ecg_representation_learning_tpu.train.metrics import roc_auc
+    from ecg_representation_learning_tpu.train.pretrain import (
+        MaeTrainer, make_probe_optimizer, transfer_encoder)
+
+    signals, labels, folds = synth_ptbxl(n=256, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = MODEL_CFG.__class__.from_defined('debug', max_signal_length=704,
+                                           use_flash_attention=False)
+    tr = MaeTrainer(cfg, MAE_CFG,
+                    TrainConfig(num_train_epoch=4, train_batch_size=32,
+                                learning_rate=1e-3, do_eval=False),
+                    train_data=splits.train, output_dir=str(tmp_path / 'mp'))
+    tr.train()
+
+    vit = EcgVit(cfg)
+    fresh = vit.init({'params': jax.random.PRNGKey(7)},
+                     jnp.zeros((1, 12, 704), jnp.float32))
+    merged = transfer_encoder(tr.state.params, fresh)
+
+    def pad(sig):
+        return np.pad(sig, [(0, 0), (0, 0), (0, 64)])
+
+    tcfg = TrainConfig(learning_rate=3e-2, warmup_ratio=0.0, schedule='constant')
+    opt, _ = make_probe_optimizer(tcfg, 60, merged)
+    opt_state = opt.init(merged)
+    x = jnp.asarray(pad(splits.train.signals))
+    y = jnp.asarray(splits.train.labels)
+
+    @jax.jit
+    def step(p, s, idx):
+        loss, g = jax.value_and_grad(
+            lambda pp: vit.apply(pp, x[idx], labels=y[idx]).loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    host = np.random.default_rng(0)
+    p, s = merged, opt_state
+    for _ in range(60):
+        idx = jnp.asarray(host.choice(x.shape[0], size=32, replace=False))
+        p, s, _ = step(p, s, idx)
+    logits = vit.apply(p, jnp.asarray(pad(splits.test.signals))).logits
+    probs = np.asarray(jax.nn.sigmoid(logits))
+    nid = PTBXL_ID2CODE.index('NORM')
+    auc = roc_auc(probs[:, nid], splits.test.labels[:, nid])
+    assert auc > 0.75, auc
