@@ -109,11 +109,20 @@ def cmd_train(args):
         weight_decay=args.weight_decay, schedule=args.schedule,
         warmup_ratio=args.warmup_ratio, patience=args.patience,
         augment_timeout=args.timeout_augment, mesh_model=args.mesh_model,
-        seed=args.seed, n_sample=args.n_sample)
+        seed=args.seed, n_sample=args.n_sample,
+        linear_probe=getattr(args, 'probe', False))
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
     tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
                  norm_stats=stats, output_dir=args.output_dir)
     _maybe_port(args, tr)
+    if getattr(args, 'init_encoder', None):
+        # SSL -> supervised handoff: MAE-pretrained trunk into the classifier
+        # (full fine-tune by default; --probe freezes the trunk)
+        from .train.pretrain import load_pretrained_encoder, transfer_encoder
+        mae_params = load_pretrained_encoder(args.init_encoder, model_cfg)
+        if tr.state is None:
+            tr.init_state()
+        tr.set_params(transfer_encoder(mae_params, tr.state.params))
     if args.resume_from:
         tr.load_checkpoint(args.resume_from)
     result = tr.train()
@@ -283,6 +292,13 @@ def main(argv=None):
                                  'state_dict (.pt) via models/port.py')
         if name in ('train', 'pretrain'):
             sp.add_argument('--resume-from', default=None)
+        if name == 'train':
+            sp.add_argument('--init-encoder', default=None, metavar='MAE_CKPT',
+                            help='initialize the encoder trunk from an MAE '
+                                 'pretrain checkpoint (cli pretrain output)')
+            sp.add_argument('--probe', action='store_true',
+                            help='linear probe: freeze the pretrained trunk, '
+                                 'train only the classification head')
         if name == 'pretrain':
             sp.add_argument('--mask-ratio', type=float, default=0.75)
         if name in ('evaluate', 'visualize'):

@@ -166,6 +166,10 @@ class TrainConfig:
     loss_weight: Optional[Tuple[float, float]] = None  # (w_neg, w_pos) per-element
                                         # BCE weights by label value (reference
                                         # EcgVit.loss_weight, ecg_vit.py:144-148)
+    linear_probe: bool = False          # freeze the trunk, train only the
+                                        # classification head (the standard
+                                        # probe protocol for a pretrained
+                                        # encoder -- train/pretrain.py)
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
     mesh_data: Optional[int] = None     # data-parallel axis size (None = all
                                         # devices not claimed by mesh_model)

@@ -30,6 +30,9 @@ class MaeOutput:
     pred: jnp.ndarray        # (B, P, C*patch) reconstructed patches
     mask: jnp.ndarray        # (B, P) 1 = masked (reconstructed), 0 = visible
     ids_restore: jnp.ndarray
+    per_sample_loss: Optional[jnp.ndarray] = None  # (B,) masked-MSE per sample
+                             # (partial-batch eval: pad to the batch size,
+                             # keep the real rows -- train/pretrain.evaluate)
 
 
 def patchify(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
@@ -135,4 +138,7 @@ class EcgMae(nn.Module):
             target = (target - mu) / jnp.sqrt(var + 1e-6)
         per_patch = ((pred - target) ** 2).mean(axis=-1)   # (B, P)
         loss = (per_patch * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-        return MaeOutput(loss=loss, pred=pred, mask=mask, ids_restore=ids_restore)
+        per_sample = ((per_patch * mask).sum(axis=1)
+                      / jnp.maximum(mask.sum(axis=1), 1.0))
+        return MaeOutput(loss=loss, pred=pred, mask=mask,
+                         ids_restore=ids_restore, per_sample_loss=per_sample)

@@ -14,8 +14,20 @@ from typing import Optional
 
 def enable_compilation_cache(cache_dir: Optional[str] = None,
                              min_compile_secs: float = 0.5) -> str:
-    """Turn on the persistent compilation cache (idempotent)."""
+    """Turn on the persistent compilation cache (idempotent).
+
+    Skipped on the CPU backend: XLA:CPU executables reloaded from the cache
+    (the AOT path) mis-key collective rendezvous -- every collective gets
+    ``op_id=1``, so on a multi-device host mesh one device's all-reduce and
+    the others' collective-permute wait on each other until the 40 s
+    termination timeout calls ``abort()`` (rendezvous.cc:127; reproduced with
+    the ring-attention program on the 8-device virtual mesh).  CPU compiles
+    are cheap anyway -- the cache exists for the remote-compile TPU tunnel,
+    where it turns 70 s compiles into 0.9 s loads.
+    """
     import jax
+    if jax.default_backend() == 'cpu':
+        return ''
     cache_dir = (cache_dir
                  or os.environ.get('ECG_TPU_JAX_CACHE')
                  or os.path.expanduser('~/.cache/ecg_tpu_jax'))

@@ -112,7 +112,7 @@ class MaeTrainer:
             sig = _prep_batch(sig, mean, std, patch, train=False)
             sig = sig[..., :self.model_cfg.max_signal_length]
             out = model.apply(params, sig, mask_rng=mask_rng, deterministic=True)
-            return out.loss
+            return out.per_sample_loss
 
         with self.mesh:
             self._train_step = jax.jit(train_step, donate_argnums=(0,),
@@ -155,16 +155,19 @@ class MaeTrainer:
         bsz = self.cfg.eval_batch_size
         losses = []
         rng = jax.random.PRNGKey(seed)
-        n = (len(data) // bsz) * bsz or min(len(data), bsz)
-        for i in range(0, n, bsz):
-            sig = jnp.asarray(data.signals[i:i + bsz])
-            if sig.shape[0] < bsz:
-                break
+        for i in range(0, len(data), bsz):
+            sig_np = np.asarray(data.signals[i:i + bsz], np.float32)
+            n_real = sig_np.shape[0]
+            if n_real < bsz:  # pad to the jitted batch shape; keep real rows
+                sig_np = np.concatenate([
+                    sig_np, np.zeros((bsz - n_real,) + sig_np.shape[1:],
+                                     np.float32)])
             rng, mask_rng = jax.random.split(rng)
             with self.mesh:
-                losses.append(float(self._eval_step(self.state.params, sig,
-                                                    mask_rng)))
-        return float(np.mean(losses))
+                per_sample = self._eval_step(self.state.params,
+                                             jnp.asarray(sig_np), mask_rng)
+            losses.append(np.asarray(per_sample)[:n_real])
+        return float(np.concatenate(losses).mean())
 
     def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
                      log_every: int = 50,
@@ -375,3 +378,15 @@ def make_probe_optimizer(cfg: TrainConfig, total_steps: int, params):
     mask = linear_probe_mask(params)
     frozen = optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, mask))
     return optax.chain(opt, frozen), sched
+
+
+def load_pretrained_encoder(path: str, model_cfg: VitConfig,
+                            mae_cfg: Optional[MaeConfig] = None):
+    """Restore an MAE checkpoint (``cli pretrain`` / ``MaeTrainer`` output) and
+    return its param tree, ready for :func:`transfer_encoder` into an
+    ``EcgVit``.  ``mae_cfg`` only shapes the decoder template; any checkpoint
+    written with the default decoder restores with the default."""
+    tr = MaeTrainer(model_cfg, mae_cfg or MaeConfig(), TrainConfig())
+    tr.init_state()
+    tr.load_checkpoint(path)
+    return tr.state.params

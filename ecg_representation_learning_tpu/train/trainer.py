@@ -121,12 +121,24 @@ class Trainer:
         self.tb = None
 
     # ------------------------------------------------------------------ setup
+    def _finalize_optimizer(self, params):
+        """Wrap the optimizer with the linear-probe mask (head-only updates)
+        once a param tree exists; idempotent."""
+        if self.cfg.linear_probe and not getattr(self, '_probe_applied', False):
+            from .pretrain import linear_probe_mask
+            mask = linear_probe_mask(params)
+            frozen = optax.masked(optax.set_to_zero(),
+                                  jax.tree.map(lambda m: not m, mask))
+            self.optimizer = optax.chain(self.optimizer, frozen)
+            self._probe_applied = True
+
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         rng, init_rng = jax.random.split(rng)
         dummy = jnp.zeros((1, self.model_cfg.num_channels,
                            self.model_cfg.max_signal_length), jnp.float32)
         params = self.model.init({'params': init_rng}, dummy)
+        self._finalize_optimizer(params)
         opt_state = self.optimizer.init(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=opt_state, rng=rng)
@@ -150,6 +162,7 @@ class Trainer:
         pspec = param_shardings(params, self.mesh)
         params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s), params, pspec)
+        self._finalize_optimizer(params)
         self.state = self.state.replace(params=params,
                                         opt_state=self.optimizer.init(params))
         return self.state

@@ -238,3 +238,4 @@ def test_unstack_scanned_params_equivalence(rng):
     # and the unrolled tree drives return_attention (rollout viz)
     out = EcgVit(flat_cfg).apply(flat_params, x, return_attention=True)
     assert out.attention.shape[0] == cfg.num_hidden_layers
+

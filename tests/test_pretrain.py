@@ -132,3 +132,60 @@ def test_pretrain_transfer_probe_above_chance(tmp_path):
     nid = PTBXL_ID2CODE.index('NORM')
     auc = roc_auc(probs[:, nid], splits.test.labels[:, nid])
     assert auc > 0.75, auc
+
+
+def test_cli_pretrain_then_finetune_handoff(tmp_path, capsys):
+    """One-command SSL workflow: `cli pretrain` writes an MAE checkpoint,
+    `cli train --init-encoder <ckpt> --probe` loads the trunk and trains the
+    head only."""
+    import json
+    from ecg_representation_learning_tpu.cli import main
+
+    mae_dir = str(tmp_path / 'mae')
+    main(['pretrain', '--size', 'debug', '--synth-n', '96', '--epochs', '1',
+          '--batch-size', '32', '--output-dir', mae_dir])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    ckpt = json.loads(out)['checkpoint']
+    assert ckpt and 'ckpt-' in ckpt
+
+    main(['train', '--size', 'debug', '--synth-n', '96', '--epochs', '1',
+          '--batch-size', '32', '--init-encoder', ckpt, '--probe',
+          '--output-dir', str(tmp_path / 'ft')])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert np.isfinite(res['best_eval_loss'])
+
+    # probe actually froze the trunk: compare the trained final checkpoint's
+    # trunk weights against the MAE encoder they were initialized from
+    from ecg_representation_learning_tpu.configs import MaeConfig
+    from ecg_representation_learning_tpu.train import Trainer
+    from ecg_representation_learning_tpu.train.pretrain import (
+        load_pretrained_encoder, transfer_encoder)
+    from ecg_representation_learning_tpu.configs import VitConfig
+    cfg = VitConfig.from_defined('debug')
+    mae_params = load_pretrained_encoder(ckpt, cfg)
+    tr = Trainer(cfg, TrainConfig(linear_probe=True),
+                 output_dir=str(tmp_path / 'ft'))
+    tr.init_state()
+    tr.load_checkpoint(tr.latest_checkpoint())
+    got = np.asarray(
+        tr.state.params['params']['encoder']['block_0']['attn']['qkv']['kernel'])
+    want = np.asarray(
+        mae_params['params']['encoder_block_0']['attn']['qkv']['kernel'])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mae_evaluate_split_smaller_than_batch(tmp_path):
+    # regression: an eval split smaller than eval_batch_size used to produce
+    # mean-of-empty = NaN (every batch was skipped); now partial batches are
+    # padded to the jitted shape and only real rows enter the mean
+    signals, labels, folds = synth_ptbxl(n=48, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    assert 0 < len(splits.eval) < 32
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=16,
+                      eval_batch_size=32, do_eval=False)
+    tr = MaeTrainer(MODEL_CFG, MAE_CFG, cfg, train_data=splits.train,
+                    eval_data=splits.eval, output_dir=str(tmp_path / 'm'))
+    tr.init_state()
+    loss = tr.evaluate()
+    assert np.isfinite(loss), loss
