@@ -56,12 +56,28 @@ def _nlm_kernel(x_ref, h_ref, out_ref, num_ref, z_ref,
     # padded tail (pos >= n_real) must contribute nothing to the box sum
     ssd = jnp.where(pos < n_real, ssd, 0.0)
 
-    # Darbon windowed distance: 21-tap box sum via static rolls (interior
-    # points never touch the wrap-around because they sit >= patch_wd+1 from
-    # either end, and the padded tail is zeroed above)
-    dist = ssd
-    for o in range(1, patch_wd + 1):
-        dist = dist + pltpu.roll(ssd, -o % lp, 1) + pltpu.roll(ssd, o, 1)
+    # Darbon windowed distance: (2*patch_wd+1)-tap box sum via a log-tree of
+    # static rolls -- doubling partial sums then combining by the binary
+    # expansion of the width (7 rolls for 21 taps vs 20 for the naive form;
+    # the rolls dominate this VPU kernel).  Interior points never touch the
+    # wrap-around because they sit >= patch_wd+1 from either end, and the
+    # padded tail is zeroed above.  dist0(i) = sum ssd[i : i+w]; re-centering
+    # by +patch_wd makes it the symmetric window around i.
+    w_taps = 2 * patch_wd + 1
+    sums = {1: ssd}
+    width = 1
+    while width * 2 <= w_taps:
+        sums[width * 2] = sums[width] + pltpu.roll(sums[width], -width % lp, 1)
+        width *= 2
+    dist0 = None
+    offset = 0
+    for p in sorted(sums, reverse=True):
+        if w_taps - offset >= p:
+            term = (sums[p] if offset == 0
+                    else pltpu.roll(sums[p], -offset % lp, 1))
+            dist0 = term if dist0 is None else dist0 + term
+            offset += p
+    dist = pltpu.roll(dist0, patch_wd, 1)
 
     w = jnp.exp(-dist / h_ref[:, :1])
     interior = (pos >= patch_wd + 1) & (pos < n_real - patch_wd)

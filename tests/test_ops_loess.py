@@ -78,3 +78,16 @@ def test_window_larger_than_signal(rng):
     y = rloess(x, n=500)
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_median_last_axis_matches_numpy(rng):
+    from ecg_representation_learning_tpu.ops.loess import median_last_axis
+    for shape in [(7, 101), (3, 4, 250), (5, 2500), (2, 1)]:
+        r = rng.standard_normal(shape).astype(np.float32) * 50
+        got = np.asarray(median_last_axis(jnp.asarray(r)))
+        want = np.median(r, axis=-1).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # ties / constant rows
+    r = np.ones((4, 64), np.float32) * 3.5
+    np.testing.assert_array_equal(
+        np.asarray(median_last_axis(jnp.asarray(r))), np.full(4, 3.5, np.float32))
