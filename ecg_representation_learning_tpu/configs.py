@@ -170,6 +170,14 @@ class TrainConfig:
                                         # classification head (the standard
                                         # probe protocol for a pretrained
                                         # encoder -- train/pretrain.py)
+    device_resident: Optional[bool] = None  # keep the whole split in HBM and
+                                        # gather batches on device by index
+                                        # (per-step host->device traffic drops
+                                        # from the batch to a (bsz,) int32
+                                        # vector).  None = automatic when the
+                                        # split fits hbm_split_max_bytes.
+    hbm_split_max_bytes: int = 4 << 30  # auto device-residency cap (PTB-XL:
+                                        # 21,837 x 12 x 2500 f32 = 2.6 GB)
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
     mesh_data: Optional[int] = None     # data-parallel axis size (None = all
                                         # devices not claimed by mesh_model)

@@ -59,6 +59,7 @@ class MaeTrainer:
         self.state: Optional[TrainState] = None
         self.epoch = 0
         self._host_step = 0   # mirrors state.step without per-step device syncs
+        self._resident = {}   # id(SplitData) -> signals in HBM
         self._train_step = None
         self._eval_step = None
         self.logger = get_logger('EcgMae Pretrain')
@@ -82,10 +83,13 @@ class MaeTrainer:
     def _build_step(self):
         model, cfg = self.model, self.cfg
         mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
-        bsharding = batch_sharding(self.mesh)
 
-        def train_step(state: TrainState, sig):
+        def train_step(state: TrainState, signals, idx):
+            # HBM-resident split + on-device index gather (same policy as
+            # trainer.Trainer._step_inputs); host-streaming mode passes the
+            # batch itself with an iota idx
             rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+            sig = jnp.take(signals, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             # crop after the always-pad quirk: inputs already a patch multiple
             # gain a zero patch (transform.py:148-151) that would exceed the
@@ -107,7 +111,8 @@ class MaeTrainer:
             return new_state, {'loss': loss,
                                'learning_rate': self.schedule(state.step)}
 
-        def eval_step(params, sig, mask_rng):
+        def eval_step(params, signals, idx, mask_rng):
+            sig = jnp.take(signals, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=False)
             sig = sig[..., :self.model_cfg.max_signal_length]
@@ -115,10 +120,26 @@ class MaeTrainer:
             return out.per_sample_loss
 
         with self.mesh:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,),
-                                       in_shardings=(None, bsharding))
-            self._eval_step = jax.jit(eval_step,
-                                      in_shardings=(None, bsharding, None))
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+
+    def _sig_inputs(self, data: SplitData, take: np.ndarray):
+        """(signals, idx) for a jitted step -- HBM-resident when the split
+        fits (same policy as Trainer._step_inputs)."""
+        cap = self.cfg.hbm_split_max_bytes
+        resident = (self.cfg.device_resident
+                    if self.cfg.device_resident is not None
+                    else data.signals.nbytes <= cap)
+        if resident:
+            key = id(data)
+            if key not in self._resident:
+                with self.mesh:
+                    self._resident[key] = jax.device_put(
+                        jnp.asarray(data.signals, jnp.float32),
+                        replicated(self.mesh))
+            return self._resident[key], jnp.asarray(take.astype(np.int32))
+        return (jnp.asarray(data.signals[take], jnp.float32),
+                jnp.arange(take.size, dtype=jnp.int32))
 
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, tag: str = 'final') -> str:
@@ -156,16 +177,15 @@ class MaeTrainer:
         losses = []
         rng = jax.random.PRNGKey(seed)
         for i in range(0, len(data), bsz):
-            sig_np = np.asarray(data.signals[i:i + bsz], np.float32)
-            n_real = sig_np.shape[0]
+            take = np.arange(i, min(i + bsz, len(data)))
+            n_real = take.size
             if n_real < bsz:  # pad to the jitted batch shape; keep real rows
-                sig_np = np.concatenate([
-                    sig_np, np.zeros((bsz - n_real,) + sig_np.shape[1:],
-                                     np.float32)])
+                take = np.concatenate([take, np.zeros(bsz - n_real, np.int64)])
             rng, mask_rng = jax.random.split(rng)
+            sigs, take_dev = self._sig_inputs(data, take)
             with self.mesh:
-                per_sample = self._eval_step(self.state.params,
-                                             jnp.asarray(sig_np), mask_rng)
+                per_sample = self._eval_step(self.state.params, sigs,
+                                             take_dev, mask_rng)
             losses.append(np.asarray(per_sample)[:n_real])
         return float(np.concatenate(losses).mean())
 
@@ -296,9 +316,10 @@ class MaeTrainer:
             stop = (n // cfg.train_batch_size) * cfg.train_batch_size
             for i in range(0, stop, cfg.train_batch_size):
                 take = idx[i:i + cfg.train_batch_size]
+                sigs, take_dev = self._sig_inputs(self.train_data, take)
                 with self.mesh:
                     self.state, metrics = self._train_step(
-                        self.state, jnp.asarray(self.train_data.signals[take]))
+                        self.state, sigs, take_dev)
                 self._host_step += 1
                 step = self._host_step
                 if step % max(1, self.steps_per_epoch // 4) == 0:

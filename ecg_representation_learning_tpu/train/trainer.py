@@ -37,7 +37,7 @@ from ..configs import TrainConfig, VitConfig
 from ..models.vit import EcgVit, bce_with_logits
 from ..ops.augment import timeout as timeout_op
 from ..ops.pad import time_end_pad
-from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel.mesh import DATA_AXIS, make_mesh, param_shardings, replicated
 from ..utils.logging import TbWriter, get_logger, pretty_log_dict
 from .metrics import (binary_stats, classification_report, multilabel_auroc,
                       per_class_recall)
@@ -114,6 +114,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.epoch = 0
         self._host_step = 0  # mirrors state.step without device syncs
+        self._resident = {}  # id(SplitData) -> (signals, labels) in HBM
         self._train_step = None
         self._eval_step = None
         self.logger = get_logger(f'{name} Train')
@@ -174,16 +175,22 @@ class Trainer:
         model, cfg = self.model, self.cfg
         mean, std = self.mean, self.std
         patch = self.model_cfg.patch_size
-        bsharding = batch_sharding(self.mesh)
         if (self.mesh.shape.get('model', 1) > 1
                 and self.model_cfg.use_flash_attention):
             tp_ctx = lambda: flash_tp_context(self.mesh)
         else:
             tp_ctx = contextlib.nullcontext
 
-        def train_step(state: TrainState, sig, lab, nonfinite_count):
+        def train_step(state: TrainState, signals, labels, idx, nonfinite_count):
+            # the split lives in HBM (replicated); each step ships only a
+            # (bsz,) int32 index vector and gathers rows ON DEVICE -- no
+            # per-step host->device batch transfer.  (Host-streaming mode
+            # passes the batch itself with an iota idx -- same program.)
             rng, to_rng, do_rng = jax.random.split(state.rng, 3)
+            sig = jnp.take(signals, idx, axis=0)
+            lab = jnp.take(labels, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            lab = jax.lax.with_sharding_constraint(lab, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=cfg.augment_timeout,
                               rng=to_rng)
 
@@ -215,8 +222,11 @@ class Trainer:
                        'grad_norm': grad_norm, **binary_stats(probs, lab)}
             return new_state, metrics, probs, nonfinite_count
 
-        def eval_step(params, sig, lab):
+        def eval_step(params, signals, labels, idx):
+            sig = jnp.take(signals, idx, axis=0)
+            lab = jnp.take(labels, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            lab = jax.lax.with_sharding_constraint(lab, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=False)
             with tp_ctx():
                 out = model.apply(params, sig, labels=lab, loss_reduction='none')
@@ -224,15 +234,12 @@ class Trainer:
             return out.loss, probs
 
         with self.mesh:
-            self._train_step = jax.jit(
-                train_step, donate_argnums=(0, 3),
-                in_shardings=(None, bsharding, bsharding, None))
-            self._eval_step = jax.jit(eval_step,
-                                      in_shardings=(None, bsharding, bsharding))
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 4))
+            self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------ loops
-    def _batches(self, data: SplitData, batch_size: int, shuffle_rng=None,
-                 drop_last: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    def _index_batches(self, data: SplitData, batch_size: int, shuffle_rng=None,
+                       drop_last: bool = True) -> Iterator[Tuple[np.ndarray, int]]:
         n = len(data)
         idx = np.arange(n)
         if shuffle_rng is not None:
@@ -243,7 +250,42 @@ class Trainer:
             n_real = take.size
             if n_real < batch_size:  # pad final eval batch; mask on host
                 take = np.concatenate([take, np.zeros(batch_size - n_real, np.int64)])
-            yield data.signals[take], data.labels[take], n_real
+            yield take, n_real
+
+    def _split_arrays(self, data: SplitData):
+        """The split as device arrays: HBM-resident (replicated over the mesh)
+        when it fits, so steps gather rows on device from a (bsz,) index
+        vector instead of shipping the batch from host every step.  Falls back
+        to host arrays (per-batch transfer) above the size cap."""
+        cap = self.cfg.hbm_split_max_bytes
+        resident = (self.cfg.device_resident
+                    if self.cfg.device_resident is not None
+                    else data.signals.nbytes + data.labels.nbytes <= cap)
+        if not resident:
+            return None
+        key = id(data)
+        if key not in self._resident:
+            rep = replicated(self.mesh)
+            with self.mesh:
+                self._resident[key] = (
+                    jax.device_put(jnp.asarray(data.signals, jnp.float32), rep),
+                    jax.device_put(jnp.asarray(data.labels, jnp.float32), rep))
+        return self._resident[key]
+
+    def _step_inputs(self, data: SplitData, take: np.ndarray):
+        """(signals, labels, idx) for a jitted step: HBM-resident mode passes
+        the full split + the real index vector; host-streaming mode passes
+        the sliced batch + iota indices (the same program modulo the leading
+        dim)."""
+        dev = self._split_arrays(data)
+        if dev is not None:
+            sigs, labs = dev
+            idx = jnp.asarray(take.astype(np.int32))
+        else:
+            sigs = jnp.asarray(data.signals[take], jnp.float32)
+            labs = jnp.asarray(data.labels[take], jnp.float32)
+            idx = jnp.arange(take.size, dtype=jnp.int32)
+        return sigs, labs, idx
 
     def latest_checkpoint(self) -> Optional[str]:
         """Most recent ``ckpt-*`` under output_dir (crash-recovery restart)."""
@@ -284,11 +326,13 @@ class Trainer:
         start_epoch = self.epoch
         for _ in range(start_epoch, cfg.num_train_epoch):
             self.epoch += 1
-            for sig, lab, _ in self._batches(self.train_data, cfg.train_batch_size,
-                                             shuffle_rng=host_rng):
+            for take, _ in self._index_batches(self.train_data,
+                                               cfg.train_batch_size,
+                                               shuffle_rng=host_rng):
+                sigs, labs, idx = self._step_inputs(self.train_data, take)
                 with self.mesh:
                     self.state, metrics, probs, nonfinite = self._train_step(
-                        self.state, jnp.asarray(sig), jnp.asarray(lab), nonfinite)
+                        self.state, sigs, labs, idx, nonfinite)
                 # host-side step counter: fetching state.step would sync the
                 # device every step (~35 ms on the tunneled platform)
                 self._host_step += 1
@@ -346,13 +390,14 @@ class Trainer:
             'evaluate() called on an empty split (e.g. a tiny corpus whose ' \
             'strat_fold draw left fold 9/10 empty)'
         losses, probs_all, labels_all = [], [], []
-        for sig, lab, n_real in self._batches(data, self.cfg.eval_batch_size,
-                                              drop_last=False):
+        for take, n_real in self._index_batches(data, self.cfg.eval_batch_size,
+                                                drop_last=False):
+            sigs, labs, idx = self._step_inputs(data, take)
             with self.mesh:
-                loss, probs = self._eval_step(params, jnp.asarray(sig), jnp.asarray(lab))
+                loss, probs = self._eval_step(params, sigs, labs, idx)
             losses.append(np.asarray(loss)[:n_real])
             probs_all.append(np.asarray(probs)[:n_real])
-            labels_all.append(lab[:n_real])
+            labels_all.append(data.labels[take[:n_real]])
         losses = np.concatenate(losses)
         probs_np = np.concatenate(probs_all)
         labels_np = np.concatenate(labels_all)

@@ -245,3 +245,20 @@ def test_generalization_above_chance(tmp_path):
     c1_auc = pc.get(PTBXL_ID2CODE[1])
     assert norm_auc is not None and norm_auc > 0.8, pc
     assert c1_auc is not None and c1_auc > 0.8, pc
+
+
+def test_device_resident_vs_host_streaming_equivalence(tmp_path):
+    # the HBM-resident input mode (whole split on device, per-step index
+    # gather) must train identically to host-streaming (per-step batch
+    # upload): same seeds -> same losses
+    tr1, sp1 = small_setup(tmp_path / 'a', n=96, epochs=1, device_resident=True)
+    r1 = tr1.train()
+    tr2, sp2 = small_setup(tmp_path / 'b', n=96, epochs=1, device_resident=False)
+    r2 = tr2.train()
+    assert tr1._resident and not tr2._resident  # modes actually differ
+    np.testing.assert_allclose(r1['history'][-1]['loss'],
+                               r2['history'][-1]['loss'], rtol=1e-5)
+    e1 = tr1.evaluate(sp1.test)
+    e2 = tr2.evaluate(sp2.test)
+    np.testing.assert_allclose(e1['loss'], e2['loss'], rtol=1e-5)
+    np.testing.assert_allclose(e1['macro_auc'], e2['macro_auc'], rtol=1e-6)
