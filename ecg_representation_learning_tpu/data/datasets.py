@@ -202,15 +202,33 @@ def synth_ecg(rng: np.random.Generator, n: int, n_lead: int = N_LEADS,
     return (beat + wander + noise).astype(np.float32)
 
 
-def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500
+def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500,
+                n_marker_classes: int = 0
                 ) -> Tuple[np.ndarray, List[List[int]], np.ndarray]:
     """Synthetic (signals, label-id lists, strat_fold) shaped like PTB-XL.
 
     Labels correlate weakly with signal statistics so a model can actually
     learn above-chance AUROC on it (used by the training smoke tests).
+
+    ``n_marker_classes > 0`` switches to a multi-class quality benchmark:
+    each class ``j < n_marker_classes`` independently present with p=0.4 and
+    marked by a distinct-frequency tone, so macro-AUROC over those classes is
+    a meaningful end-to-end learning metric (the default scheme only carries
+    markers for two classes, leaving macro-AUROC near chance by design).
     """
     rng = np.random.default_rng(seed)
     signals = synth_ecg(rng, n, length=length)
+    if n_marker_classes:
+        t = np.arange(length, dtype=np.float32) / 250.0
+        present = rng.uniform(size=(n, n_marker_classes)) < 0.4
+        for j in range(n_marker_classes):
+            freq = 3.0 + 4.0 * j            # 3, 7, 11, ... Hz (< Nyquist)
+            tone = 0.3 * np.sin(2 * np.pi * freq * t).astype(np.float32)
+            signals[present[:, j]] += tone[None, None, :]
+        labels = [sorted(np.nonzero(present[i])[0].tolist())
+                  or [n_marker_classes] for i in range(n)]
+        strat_fold = rng.integers(1, 11, size=n)
+        return signals, labels, strat_fold
     # inject class-conditional morphology markers so the labels GENERALIZE
     # (not just signal-statistic medians, which barely separate test folds):
     # 'NORM' carries a 17 Hz oscillation, class 1 a slow baseline drift

@@ -262,3 +262,29 @@ def test_device_resident_vs_host_streaming_equivalence(tmp_path):
     e2 = tr2.evaluate(sp2.test)
     np.testing.assert_allclose(e1['loss'], e2['loss'], rtol=1e-5)
     np.testing.assert_allclose(e1['macro_auc'], e2['macro_auc'], rtol=1e-6)
+
+
+def test_multiclass_macro_auroc_on_marker_corpus(tmp_path):
+    # end-to-end quality benchmark: 8 classes each carry a distinct-frequency
+    # tone; a trained model's macro-AUROC over those classes on the TEST split
+    # must be high -- this exercises the full multi-label learning path, not
+    # just loss-goes-down (the default synth corpus only marks 2 classes)
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.train.metrics import roc_auc
+
+    k = 8
+    signals, labels, folds = synth_ptbxl(n=384, length=640, n_marker_classes=k)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    cfg = TrainConfig(num_train_epoch=6, train_batch_size=32,
+                      eval_batch_size=32, learning_rate=2e-3,
+                      log_to_console=False)
+    tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
+                 output_dir=str(tmp_path / 'mk'))
+    tr.train()
+    ev = tr.evaluate(splits.test, return_predictions=True)
+    probs = ev['predictions']['probs']
+    labs = ev['predictions']['labels']
+    aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
+    assert np.mean(aucs) > 0.85, aucs
