@@ -210,6 +210,39 @@ def cmd_visualize(args):
     print(json.dumps({'figure': path}))
 
 
+def cmd_infer(args):
+    """Batch inference on an unlabeled combined HDF5: per-record sigmoid
+    probabilities + top-k PTB-XL codes to JSON (the serving-side counterpart
+    of ``evaluate``, which needs labels)."""
+    import numpy as np
+    from .configs import TrainConfig
+    from .data import EcgDataset
+    from .registry import PTBXL_ID2CODE, PTBXL_TRAIN_STATS
+    from .train import Trainer
+    model_cfg = _model_cfg_for(args)
+    sigs = EcgDataset(args.hdf5).load()
+    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size),
+                 norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
+    tr.init_state()
+    _maybe_port(args, tr)
+    if args.checkpoint:
+        tr.load_checkpoint(args.checkpoint)
+    probs = tr.predict(sigs)
+    k = args.top_k
+    top = np.argsort(-probs, axis=1)[:, :k]
+    records = [
+        {'record': int(i),
+         'top': [{'code': PTBXL_ID2CODE[int(c)], 'prob': float(probs[i, c])}
+                 for c in top[i]]}
+        for i in range(probs.shape[0])
+    ]
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, 'w') as f:
+        json.dump({'n_records': len(records), 'top_k': k,
+                   'records': records}, f)
+    print(json.dumps({'out': args.out, 'n_records': len(records)}))
+
+
 def cmd_tokenize(args):
     import numpy as np
     from .models.tokenizer import EcgTokenizer
@@ -311,6 +344,17 @@ def main(argv=None):
             sp.add_argument('--split', default='test', choices=['eval', 'test'])
             sp.add_argument('--index', type=int, default=0)
         sp.set_defaults(fn=fn)
+
+    pi = sub.add_parser('infer', help='unlabeled HDF5 -> per-record top-k '
+                                      'code probabilities (JSON)')
+    _add_common_train_flags(pi)
+    pi.add_argument('--hdf5', required=True)
+    pi.add_argument('--stats', default=None, choices=[None, 'original', 'denoised'])
+    pi.add_argument('--checkpoint', default=None)
+    pi.add_argument('--port-checkpoint', default=None, metavar='PT_FILE')
+    pi.add_argument('--top-k', type=int, default=5)
+    pi.add_argument('--out', default='predictions.json')
+    pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser('tokenize')
     pt.add_argument('--hdf5', default=None)

@@ -27,12 +27,29 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None) ->
 
 
 def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
-    """Restore into the structure of ``like_state`` (an initialized TrainState)."""
+    """Restore into the structure of ``like_state`` (an initialized TrainState).
+
+    If the saved ``opt_state`` tree does not match (e.g. a linear-probe-trained
+    checkpoint loaded by a plain trainer for inference or full fine-tune),
+    fall back to restoring params/step/rng and keep the freshly initialized
+    optimizer state -- exact resume needs matching optimizers, inference and
+    transfer do not."""
+    import logging
+
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, _to_pytree(like_state))
-    restored = ckptr.restore(path, template)
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception:
+        raw = ckptr.restore(path)  # saved structure, no template
+        restored = {'step': raw['step'], 'params': raw['params'],
+                    'rng': raw['rng'], 'opt_state': template['opt_state']}
+        logging.getLogger(__name__).warning(
+            'optimizer state in %s does not match this trainer '
+            '(different optimizer chain, e.g. linear-probe vs full); '
+            'restored params/step/rng and reinitialized the optimizer', path)
     state = _from_pytree(like_state, restored)
     extra = {}
     meta = path + '.meta.json'

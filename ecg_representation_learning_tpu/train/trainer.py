@@ -415,6 +415,31 @@ class Trainer:
             out['predictions'] = {'probs': probs_np, 'labels': labels_np}
         return out
 
+    def predict(self, signals: np.ndarray) -> np.ndarray:
+        """Batch inference: per-record sigmoid probabilities (N, num_class).
+
+        The serving-side path: no labels required (``evaluate`` is the
+        labeled counterpart).  Uses the same jitted eval program with dummy
+        labels; partial final batches are padded and trimmed."""
+        if self._eval_step is None:
+            self._build_steps()
+        assert self.state is not None, 'call init_state() or load a checkpoint first'
+        data = SplitData(
+            signals=np.asarray(signals, np.float32),
+            labels=np.zeros((len(signals), self.model_cfg.num_class), np.float32))
+        probs_all = []
+        for take, n_real in self._index_batches(data, self.cfg.eval_batch_size,
+                                                drop_last=False):
+            # host-streaming on purpose: one-shot inference inputs should not
+            # be pinned into the HBM-resident cache
+            sigs = jnp.asarray(data.signals[take], jnp.float32)
+            labs = jnp.asarray(data.labels[take], jnp.float32)
+            idx = jnp.arange(take.size, dtype=jnp.int32)
+            with self.mesh:
+                _, probs = self._eval_step(self.state.params, sigs, labs, idx)
+            probs_all.append(np.asarray(probs)[:n_real])
+        return np.concatenate(probs_all)
+
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, tag: str = 'final'):
         from .checkpoint import save_checkpoint

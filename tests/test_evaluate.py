@@ -64,3 +64,27 @@ def test_cli_visualize(tmp_path):
               '--synth-n', '48', '--split', 'test', '--index', '1'])
     out = json.loads(buf.getvalue())
     assert os.path.exists(out['figure'])
+
+
+def test_cli_infer(tmp_path):
+    """Serving path: unlabeled HDF5 -> per-record top-k code probabilities."""
+    import json
+    from ecg_representation_learning_tpu.cli import main
+    from ecg_representation_learning_tpu.registry import PTBXL_ID2CODE
+
+    main(['synth', '--n', '24', '--out', str(tmp_path)])
+    out = str(tmp_path / 'pred.json')
+    main(['infer', '--size', 'debug', '--hdf5',
+          str(tmp_path / 'PTB-XL-combined.hdf5'), '--top-k', '3',
+          '--out', out])
+    with open(out) as f:
+        res = json.load(f)
+    assert res['n_records'] == 24 and res['top_k'] == 3
+    for rec in res['records']:
+        assert len(rec['top']) == 3
+        for entry in rec['top']:
+            assert entry['code'] in PTBXL_ID2CODE
+            assert 0.0 <= entry['prob'] <= 1.0
+    # descending within a record
+    p = [e['prob'] for e in res['records'][0]['top']]
+    assert p == sorted(p, reverse=True)

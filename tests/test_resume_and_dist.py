@@ -77,3 +77,33 @@ def test_two_process_distributed_gradient_allreduce():
         assert p.returncode == 0, out[-2000:]
     for pid, out in enumerate(outs):
         assert f'DIST_OK pid={pid}' in out, out[-2000:]
+
+
+def test_restore_across_optimizer_chains(tmp_path):
+    # a linear-probe-trained checkpoint (masked optimizer chain) loads into a
+    # plain trainer: params/step restored, optimizer reinitialized (the
+    # restore falls back to params-only instead of raising on the opt_state
+    # structure mismatch) -- the inference / full-fine-tune-from-probe path
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.train import Trainer
+
+    signals, labels, folds = synth_ptbxl(n=64, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                 use_flash_attention=False)
+    tr = Trainer(cfg, TrainConfig(num_train_epoch=1, train_batch_size=16,
+                                  linear_probe=True, do_eval=False),
+                 train_data=splits.train, output_dir=str(tmp_path / 'p'))
+    tr.train()
+    ckpt = tr.latest_checkpoint()
+
+    tr2 = Trainer(cfg, TrainConfig(), output_dir=str(tmp_path / 'q'))
+    tr2.init_state()
+    tr2.load_checkpoint(ckpt)  # must not raise despite the opt_state mismatch
+    a = np.asarray(tr.state.params['params']['head']['kernel'])
+    b = np.asarray(tr2.state.params['params']['head']['kernel'])
+    np.testing.assert_array_equal(a, b)
+    probs = tr2.predict(splits.test.signals)
+    assert probs.shape == (len(splits.test), cfg.num_class)
+    assert np.all((probs >= 0) & (probs <= 1))
