@@ -155,9 +155,9 @@ def median_last_axis(r: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
     (~18 of the chain's ~51 ms).  A sort is wasted work for one order
     statistic: bisect the value range instead, counting ``r <= mid`` per row
     (compare + row-sum, fully vectorized on the VPU).  ``hi`` converges onto
-    the k-th smallest *element value*, so with enough iterations (2^-40 of
-    the initial range is below f32 resolution) the result is exactly
-    ``jnp.median``; even lengths average the two middle elements.
+    the k-th smallest *element value*: 40 halvings put it within a few ulps
+    of the data scale (usually exactly equal -- the f32 midpoint rounds onto
+    the element); even lengths average the two middle elements.
     """
     length = r.shape[-1]
 
