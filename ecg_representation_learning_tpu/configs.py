@@ -181,7 +181,14 @@ class TrainConfig:
     # parallelism (new first-class components, absent in the reference -- SURVEY.md §2.3)
     mesh_data: Optional[int] = None     # data-parallel axis size (None = all
                                         # devices not claimed by mesh_model)
-    mesh_model: int = 1                 # model (TP/FSDP) axis size
+    mesh_model: int = 1                 # model (tensor-parallel) axis size
+    fsdp: bool = False                  # ZeRO-style fully-sharded storage:
+                                        # params + Adam moments sharded over
+                                        # 'data' (largest free dim); GSPMD
+                                        # all-gathers at use, reduce-scatters
+                                        # grads.  ~1/n_data param+optimizer
+                                        # memory per chip; composes with
+                                        # mesh_model (hybrid TP x FSDP)
 
     def steps_per_epoch(self, n_train: int) -> int:
         # floor: the trainer drops the last partial batch (static shapes under

@@ -1,7 +1,7 @@
 """Parallelism layer: mesh + sharding rules (DP x TP), ring context
 parallelism, GPipe pipeline parallelism, multi-host init."""
 from .mesh import (
-    DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, param_shardings, param_spec,
+    DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, opt_state_shardings, param_shardings, param_spec,
     replicated, shard_params,
 )
 from .distributed import initialize_distributed, process_local_batch_slice
@@ -11,7 +11,7 @@ from .pipeline_parallel import (
 )
 
 __all__ = [
-    'DATA_AXIS', 'MODEL_AXIS', 'batch_sharding', 'make_mesh', 'param_shardings',
+    'DATA_AXIS', 'MODEL_AXIS', 'batch_sharding', 'make_mesh', 'opt_state_shardings', 'param_shardings',
     'param_spec', 'replicated', 'shard_params',
     'initialize_distributed', 'process_local_batch_slice',
     'ring_attention', 'ring_attention_local',

@@ -70,19 +70,67 @@ def param_spec(path: str, ndim: int) -> P:
     return P()  # replicated
 
 
-def param_shardings(params, mesh: Mesh):
-    """PartitionSpec pytree for a flax param tree (NamedSharding leaves)."""
+def _fsdp_spec(spec: P, shape: Tuple[int, ...], n_data: int) -> P:
+    """Additionally shard the largest free dim over 'data' (ZeRO-style fully
+    sharded storage; GSPMD inserts the all-gathers at use and reduce-scatters
+    on the gradients).  Dims already on 'model' stay; indivisible or tiny
+    params stay replicated over 'data'."""
+    if n_data <= 1 or not shape:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for d, size in enumerate(shape):
+        if entries[d] is None and size % n_data == 0 and size > best_size:
+            best, best_size = d, size
+    if best is None or best_size < 2 * n_data:  # not worth slicing tiny params
+        return spec
+    entries[best] = DATA_AXIS
+    return P(*entries)
+
+
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+    """PartitionSpec pytree for a flax param tree (NamedSharding leaves).
+
+    ``fsdp=True`` adds ZeRO-style sharding of parameter (and, via
+    :func:`opt_state_shardings`, optimizer-moment) storage over the 'data'
+    axis on top of the Megatron 'model' rules.
+    """
+    n_data = mesh.shape.get(DATA_AXIS, 1)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
         return '/'.join(getattr(k, 'key', str(k)) for k in kp)
 
-    specs = {path_str(kp): param_spec(path_str(kp), v.ndim) for kp, v in flat}
+    specs = {}
+    for kp, v in flat:
+        spec = param_spec(path_str(kp), v.ndim)
+        if fsdp:
+            spec = _fsdp_spec(spec, tuple(v.shape), n_data)
+        specs[path_str(kp)] = spec
 
     def to_sharding(kp, v):
         return NamedSharding(mesh, specs[path_str(kp)])
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def opt_state_shardings(opt_state, params_shardings, mesh: Mesh):
+    """Shardings for an optax state pytree: subtrees that mirror the param
+    tree (Adam's mu/nu moments) get the param shardings -- under FSDP this is
+    where most of the memory saving lives -- and every other leaf (counts,
+    clip state) is replicated."""
+    pstruct = jax.tree.structure(params_shardings)
+    rep = replicated(mesh)
+
+    def is_param_tree(node):
+        try:
+            return jax.tree.structure(node) == pstruct
+        except Exception:
+            return False
+
+    return jax.tree.map(
+        lambda sub: params_shardings if is_param_tree(sub) else rep,
+        opt_state, is_leaf=is_param_tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

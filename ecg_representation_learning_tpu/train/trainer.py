@@ -37,7 +37,8 @@ from ..configs import TrainConfig, VitConfig
 from ..models.vit import EcgVit, bce_with_logits
 from ..ops.augment import timeout as timeout_op
 from ..ops.pad import time_end_pad
-from ..parallel.mesh import DATA_AXIS, make_mesh, param_shardings, replicated
+from ..parallel.mesh import (DATA_AXIS, make_mesh, opt_state_shardings,
+                             param_shardings, replicated)
 from ..utils.logging import TbWriter, get_logger, pretty_log_dict
 from .metrics import (binary_stats, classification_report, multilabel_auroc,
                       per_class_recall)
@@ -143,12 +144,15 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=opt_state, rng=rng)
-        # place on mesh: params/opt_state per partition rules, scalars replicated
-        pspec = param_shardings(params, self.mesh)
+        # place on mesh: params/opt_state per partition rules (incl. optional
+        # ZeRO-style 'data'-axis sharding of params + Adam moments under
+        # cfg.fsdp), scalars replicated
+        pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
+        osh = opt_state_shardings(opt_state, pspec, self.mesh)
         state = TrainState(
             step=jax.device_put(state.step, replicated(self.mesh)),
             params=jax.tree.map(jax.device_put, params, pspec),
-            opt_state=jax.device_put(opt_state, replicated(self.mesh)),
+            opt_state=jax.tree.map(jax.device_put, opt_state, osh),
             rng=jax.device_put(state.rng, replicated(self.mesh)),
         )
         self.state = state
@@ -160,7 +164,7 @@ class Trainer:
         state.  Params are placed on the mesh per the partition rules."""
         if self.state is None:
             self.init_state()
-        pspec = param_shardings(params, self.mesh)
+        pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
         params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s), params, pspec)
         self._finalize_optimizer(params)
@@ -453,6 +457,14 @@ class Trainer:
         if self.state is None:
             self.init_state()
         self.state, extra = restore_checkpoint(path, self.state)
+        # restore materializes host arrays: re-place on the mesh so FSDP/TP
+        # shardings survive a resume
+        pspec = param_shardings(self.state.params, self.mesh, fsdp=self.cfg.fsdp)
+        osh = opt_state_shardings(self.state.opt_state, pspec, self.mesh)
+        with self.mesh:
+            self.state = self.state.replace(
+                params=jax.tree.map(jax.device_put, self.state.params, pspec),
+                opt_state=jax.tree.map(jax.device_put, self.state.opt_state, osh))
         self.epoch = int(extra.get('epoch', 0))
         self._host_step = int(self.state.step)  # one sync at restore is fine
         return self.state

@@ -288,3 +288,51 @@ def test_multiclass_macro_auroc_on_marker_corpus(tmp_path):
     labs = ev['predictions']['labels']
     aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
     assert np.mean(aucs) > 0.85, aucs
+
+
+def test_fsdp_shards_params_and_moments(tmp_path):
+    # ZeRO-style storage: params AND Adam moments sharded over 'data' (the
+    # largest free dim), actual per-device shards are 1/8 size, training and
+    # checkpoint-resume work, and the loss matches the unsharded run
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    mesh = make_mesh(n_data=8, n_model=1)
+    signals, labels, folds = synth_ptbxl(n=96, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+
+    def run(fsdp):
+        cfg = TrainConfig(num_train_epoch=1, train_batch_size=16,
+                          eval_batch_size=16, fsdp=fsdp, do_eval=True,
+                          save_every_n_epoch=1, log_to_console=False)
+        tr = Trainer(model_cfg, cfg, train_data=splits.train,
+                     eval_data=splits.eval, mesh=mesh,
+                     output_dir=str(tmp_path / f'fsdp{fsdp}'))
+        res = tr.train()
+        return tr, res
+
+    tr, res = run(True)
+    qkv = tr.state.params['params']['encoder']['block_0']['attn']['qkv']['kernel']
+    spec = tuple(qkv.sharding.spec)
+    # GSPMD may normalize away the size-1 'model' axis; dim0 rides 'data'
+    assert spec and spec[0] == 'data', spec         # (64, 192) -> dim0 on data
+    assert qkv.addressable_shards[0].data.shape[0] == qkv.shape[0] // 8
+    # Adam's first moment mirrors the param sharding (the ZeRO memory win)
+    mu = tr.state.opt_state[1][0].mu  # (clip, (adam, wd, lr))
+    mu_qkv = mu['params']['encoder']['block_0']['attn']['qkv']['kernel']
+    assert tuple(mu_qkv.sharding.spec)[0] == 'data'
+    assert mu_qkv.addressable_shards[0].data.shape[0] == mu_qkv.shape[0] // 8
+    assert np.isfinite(res['history'][-1]['loss'])
+
+    # resume keeps the shardings
+    tr2 = Trainer(model_cfg, TrainConfig(fsdp=True), train_data=splits.train,
+                  eval_data=splits.eval, mesh=mesh,
+                  output_dir=str(tmp_path / 'fsdpTrue'))
+    tr2.init_state()
+    tr2.load_checkpoint(tr2.latest_checkpoint())
+    q2 = tr2.state.params['params']['encoder']['block_0']['attn']['qkv']['kernel']
+    assert tuple(q2.sharding.spec)[0] == 'data'
+
+    _, res_plain = run(False)
+    np.testing.assert_allclose(res['history'][-1]['loss'],
+                               res_plain['history'][-1]['loss'], rtol=2e-4)
