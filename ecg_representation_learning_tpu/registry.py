@@ -217,6 +217,86 @@ PTBXL_SUBCLASS_DESCRIPTION: Dict[str, str] = {
 }
 
 
+# Per-code human-readable descriptions (reference util/config.py:105-271
+# extracts these from scp_statements.csv into config.json
+# ``datasets.PTB-XL.code.code2description``; used by the sorted AUROC plot
+# labels, chore/plot.py:101-113).  Keyed in id order.
+PTBXL_CODE2DESCRIPTION: Dict[str, str] = {
+    'NDT': 'non-diagnostic T abnormalities',
+    'NST_': 'non-specific ST changes',
+    'DIG': 'digitalis-effect',
+    'LNGQT': 'long QT-interval',
+    'NORM': 'normal ECG',
+    'IMI': 'inferior myocardial infarction',
+    'ASMI': 'anteroseptal myocardial infarction',
+    'LVH': 'left ventricular hypertrophy',
+    'LAFB': 'left anterior fascicular block',
+    'ISC_': 'non-specific ischemic',
+    'IRBBB': 'incomplete right bundle branch block',
+    '1AVB': 'first degree AV block',
+    'IVCD': 'non-specific intraventricular conduction disturbance (block)',
+    'ISCAL': 'ischemic in anterolateral leads',
+    'CRBBB': 'complete right bundle branch block',
+    'CLBBB': 'complete left bundle branch block',
+    'ILMI': 'inferolateral myocardial infarction',
+    'LAO/LAE': 'left atrial overload/enlargement',
+    'AMI': 'anterior myocardial infarction',
+    'ALMI': 'anterolateral myocardial infarction',
+    'ISCIN': 'ischemic in inferior leads',
+    'INJAS': 'subendocardial injury in anteroseptal leads',
+    'LMI': 'lateral myocardial infarction',
+    'ISCIL': 'ischemic in inferolateral leads',
+    'LPFB': 'left posterior fascicular block',
+    'ISCAS': 'ischemic in anteroseptal leads',
+    'INJAL': 'subendocardial injury in anterolateral leads',
+    'ISCLA': 'ischemic in lateral leads',
+    'RVH': 'right ventricular hypertrophy',
+    'ANEUR': 'ST-T changes compatible with ventricular aneurysm',
+    'RAO/RAE': 'right atrial overload/enlargement',
+    'EL': 'electrolytic disturbance or drug (former EDIS)',
+    'WPW': 'Wolff-Parkinson-White syndrome',
+    'ILBBB': 'incomplete left bundle branch block',
+    'IPLMI': 'inferoposterolateral myocardial infarction',
+    'ISCAN': 'ischemic in anterior leads',
+    'IPMI': 'inferoposterior myocardial infarction',
+    'SEHYP': 'septal hypertrophy',
+    'INJIN': 'subendocardial injury in inferior leads',
+    'INJLA': 'subendocardial injury in lateral leads',
+    'PMI': 'posterior myocardial infarction',
+    '3AVB': 'third degree AV block',
+    'INJIL': 'subendocardial injury in inferolateral leads',
+    '2AVB': 'second degree AV block',
+    'ABQRS': 'abnormal QRS',
+    'PVC': 'ventricular premature complex',
+    'STD_': 'non-specific ST depression',
+    'VCLVH': 'voltage criteria (QRS) for left ventricular hypertrophy',
+    'QWAVE': 'Q waves present',
+    'LOWT': 'low amplitude T-waves',
+    'NT_': 'non-specific T-wave changes',
+    'PAC': 'atrial premature complex',
+    'LPR': 'prolonged PR interval',
+    'INVT': 'inverted T-waves',
+    'LVOLT': 'low QRS voltages in the frontal and horizontal leads',
+    'HVOLT': 'high QRS voltage',
+    'TAB_': 'T-wave abnormality',
+    'STE_': 'non-specific ST elevation',
+    'PRC(S)': 'premature complex(es)',
+    'SR': 'sinus rhythm',
+    'AFIB': 'atrial fibrillation',
+    'STACH': 'sinus tachycardia',
+    'SARRH': 'sinus arrhythmia',
+    'SBRAD': 'sinus bradycardia',
+    'PACE': 'normal functioning artificial pacemaker',
+    'SVARR': 'supraventricular arrhythmia',
+    'BIGU': 'bigeminal pattern (unknown origin, SV or Ventricular)',
+    'AFLT': 'atrial flutter',
+    'SVTAC': 'supraventricular tachycardia',
+    'PSVT': 'paroxysmal supraventricular tachycardia',
+    'TRIGU': 'trigeminal pattern (unknown origin, SV or Ventricular)',
+}
+assert set(PTBXL_CODE2DESCRIPTION) == set(PTBXL_ID2CODE)
+
+
 def ptbxl_code_aspects(code: str) -> List[str]:
     """Aspects ('diagnostic' / 'form' / 'rhythm') a code belongs to."""
     aspects = []
@@ -321,6 +401,7 @@ def _config_datasets():
             sup: {sub: list(cs) for sub, cs in subs.items()}
             for sup, subs in PTBXL_DIAGNOSTIC_TAXONOMY.items()},
         'diagnostic-sub-class2description': dict(PTBXL_SUBCLASS_DESCRIPTION),
+        'code2description': dict(PTBXL_CODE2DESCRIPTION),
     }
     out['PTB-XL']['train-stats'] = {
         t: {k: list(v) for k, v in d.items()}

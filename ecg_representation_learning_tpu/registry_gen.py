@@ -74,6 +74,12 @@ def verify_against_registry(extracted: Dict[str, object]) -> List[str]:
                 for sup, subs in extracted['diagnostic_taxonomy'].items()}
     if reg_diag != ext_diag:
         problems.append('diagnostic taxonomy differs')
+    ext_desc = dict(extracted['code2description'])
+    if ext_desc != dict(R.PTBXL_CODE2DESCRIPTION):
+        diff = [c for c in ext_desc
+                if ext_desc.get(c) != R.PTBXL_CODE2DESCRIPTION.get(c)]
+        diff += [c for c in R.PTBXL_CODE2DESCRIPTION if c not in ext_desc]
+        problems.append(f'code2description differs for: {sorted(set(diff))}')
     return problems
 
 

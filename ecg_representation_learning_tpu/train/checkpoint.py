@@ -33,23 +33,36 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     checkpoint loaded by a plain trainer for inference or full fine-tune),
     fall back to restoring params/step/rng and keep the freshly initialized
     optimizer state -- exact resume needs matching optimizers, inference and
-    transfer do not."""
+    transfer do not.  The fallback is taken ONLY when the raw restore succeeds
+    AND its params match the template exactly (structure + leaf shapes) while
+    the opt_state structure differs; anything else -- a corrupt checkpoint, a
+    wrong model size, an orbax I/O error -- re-raises loudly instead of
+    masquerading as an optimizer-chain mismatch."""
     import logging
 
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, _to_pytree(like_state))
-    try:
-        restored = ckptr.restore(path, template)
-    except Exception:
-        raw = ckptr.restore(path)  # saved structure, no template
+    # restore raw (saved structure, no template): a failure here is genuine
+    # corruption / missing checkpoint and propagates
+    raw = ckptr.restore(path)
+    if _tree_shapes(raw.get('params')) == _tree_shapes(template['params']):
+        if _tree_shapes(raw.get('opt_state')) != _tree_shapes(template['opt_state']):
+            logging.getLogger(__name__).warning(
+                'optimizer state in %s does not match this trainer '
+                '(different optimizer chain, e.g. linear-probe vs full); '
+                'restored params/step/rng and reinitialized the optimizer', path)
         restored = {'step': raw['step'], 'params': raw['params'],
-                    'rng': raw['rng'], 'opt_state': template['opt_state']}
-        logging.getLogger(__name__).warning(
-            'optimizer state in %s does not match this trainer '
-            '(different optimizer chain, e.g. linear-probe vs full); '
-            'restored params/step/rng and reinitialized the optimizer', path)
+                    'rng': raw['rng'], 'opt_state':
+                        raw['opt_state'] if _tree_shapes(raw.get('opt_state'))
+                        == _tree_shapes(template['opt_state'])
+                        else template['opt_state']}
+    else:
+        raise ValueError(
+            f'checkpoint {path} params do not match this model: saved '
+            f'{_shape_summary(raw.get("params"))} vs expected '
+            f'{_shape_summary(template["params"])} -- wrong model size/config?')
     state = _from_pytree(like_state, restored)
     extra = {}
     meta = path + '.meta.json'
@@ -57,6 +70,23 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         with open(meta) as f:
             extra = json.load(f)
     return state, extra
+
+
+def _tree_shapes(tree):
+    """{path: shape} map of a pytree's array leaves (None-safe)."""
+    if tree is None:
+        return None
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.shape(leaf) for path, leaf in flat}
+
+
+def _shape_summary(tree, limit: int = 4) -> str:
+    shapes = _tree_shapes(tree)
+    if shapes is None:
+        return '<missing>'
+    items = list(shapes.items())
+    head = ', '.join(f'{k}:{v}' for k, v in items[:limit])
+    return f'{{{head}{", ..." if len(items) > limit else ""}}} ({len(items)} leaves)'
 
 
 def _to_pytree(state):

@@ -24,6 +24,7 @@ import datetime
 import functools
 import os
 import time
+import weakref
 from typing import Any, Dict, Iterator, Optional, Tuple, Union
 
 import flax.struct
@@ -274,6 +275,10 @@ class Trainer:
                 self._resident[key] = (
                     jax.device_put(jnp.asarray(data.signals, jnp.float32), rep),
                     jax.device_put(jnp.asarray(data.labels, jnp.float32), rep))
+            # evict on GC of the SplitData: id() values are reused, so a dead
+            # entry could alias a NEW split at the same address (silent wrong
+            # data) and distinct splits would otherwise pin HBM forever
+            weakref.finalize(data, self._resident.pop, key, None)
         return self._resident[key]
 
     def _step_inputs(self, data: SplitData, take: np.ndarray):

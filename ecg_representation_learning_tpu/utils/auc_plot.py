@@ -13,8 +13,8 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..registry import (
-    PTBXL_DIAGNOSTIC_TAXONOMY, PTBXL_FORM_CODES, PTBXL_RHYTHM_CODES,
-    PTBXL_SUBCLASS_DESCRIPTION, ptbxl_code_aspects,
+    PTBXL_CODE2DESCRIPTION, PTBXL_DIAGNOSTIC_TAXONOMY, PTBXL_FORM_CODES,
+    PTBXL_RHYTHM_CODES, PTBXL_SUBCLASS_DESCRIPTION, ptbxl_code_aspects,
 )
 from .viz import barplot, save_fig, set_color_bar, vals2colors
 
@@ -79,8 +79,11 @@ class PtbxlAucVisualizer:
         codes = sorted(self.code2auc, key=self.code2auc.get, reverse=True)
 
         def label(code: str) -> str:
+            # aspects + capitalized description, matching the reference's
+            # sorted-plot labels (chore/plot.py:101-113)
             aspects = ', '.join(a.capitalize() for a in ptbxl_code_aspects(code))
-            return f'{aspects}: {code}'
+            desc = PTBXL_CODE2DESCRIPTION.get(code, code)
+            return f'{aspects}: {code} - {desc.capitalize()}'
 
         plt.figure(figsize=(14, max(6, 0.2 * len(codes))))
         import seaborn as sns

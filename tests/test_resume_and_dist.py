@@ -107,3 +107,65 @@ def test_restore_across_optimizer_chains(tmp_path):
     probs = tr2.predict(splits.test.signals)
     assert probs.shape == (len(splits.test), cfg.num_class)
     assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_restore_wrong_model_size_raises(tmp_path):
+    # a checkpoint from a different model config must fail LOUDLY with a
+    # shape-mismatch message -- not silently "succeed" as a params-only
+    # restore (the old bare-except fallback masked this)
+    import pytest
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.train import Trainer
+
+    signals, labels, folds = synth_ptbxl(n=48, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                 use_flash_attention=False)
+    tr = Trainer(cfg, TrainConfig(num_train_epoch=1, train_batch_size=16,
+                                  do_eval=False),
+                 train_data=splits.train, output_dir=str(tmp_path / 'a'))
+    tr.train()
+    ckpt = tr.latest_checkpoint()
+
+    big = VitConfig.from_defined('debug', max_signal_length=320,
+                                 use_flash_attention=False, hidden_size=96)
+    tr2 = Trainer(big, TrainConfig(), output_dir=str(tmp_path / 'b'))
+    tr2.init_state()
+    with pytest.raises(ValueError, match='params do not match'):
+        tr2.load_checkpoint(ckpt)
+
+
+def test_restore_corrupt_checkpoint_raises(tmp_path):
+    # physical corruption of the checkpoint directory must propagate as an
+    # error from the raw restore, never be re-branded an optimizer-chain
+    # mismatch (ADVICE round 2, checkpoint.py)
+    import os
+    import shutil
+
+    import pytest
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.train import Trainer
+
+    signals, labels, folds = synth_ptbxl(n=48, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                 use_flash_attention=False)
+    tr = Trainer(cfg, TrainConfig(num_train_epoch=1, train_batch_size=16,
+                                  do_eval=False),
+                 train_data=splits.train, output_dir=str(tmp_path / 'c'))
+    tr.train()
+    ckpt = tr.latest_checkpoint()
+
+    # destroy the stored arrays but keep the directory + metadata skeleton
+    for root, dirs, files in os.walk(ckpt):
+        for f in files:
+            if f != '_METADATA' and not f.endswith('.json'):
+                p = os.path.join(root, f)
+                with open(p, 'wb') as fh:
+                    fh.write(b'corrupt')
+    tr2 = Trainer(cfg, TrainConfig(), output_dir=str(tmp_path / 'd'))
+    tr2.init_state()
+    with pytest.raises(Exception):
+        tr2.load_checkpoint(ckpt)
