@@ -1,8 +1,18 @@
-"""Benchmark: fused preprocessing throughput on one chip (the north-star
-metric -- BASELINE.md: >=10,000 ECG records/sec/chip for resample + bandpass
-+ z-norm + window on v5e).
+"""Benchmark suite: one JSON line per metric, on one real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (VERDICT round-2 directive #1 -- driver-verify the training claims):
+  1. preprocess_records_per_sec_per_chip -- fused resample + zero-phase
+     Butterworth + z-norm + pad (the BASELINE.md north star: >=10,000 rec/s).
+  2. train_vitbase_samples_per_sec -- the REAL supervised train step
+     (ecg-vit-base, batch 64, dropout ON, AdamW + global-norm clip, donated
+     state; reference training semantics models/train.py:263-295).
+  3. train_mfu -- model FLOPs utilization of that step against the v5e bf16
+     peak (BASELINE.md: "compute-bound at speed-of-light").
+  4. denoise_records_per_sec -- the Zheng chain (lowpass -> rloess -> NLM,
+     search width 128) on (64, 12, 2500) @250 Hz batches.
+  5. mae_stream_samples_per_sec -- MAE-base streaming pretrain step compute
+     (75% mask, bs 64) with the fused 500->250 Hz prep inside the jitted step
+     (BASELINE config 5 shape).
 
 Timing note: on the tunneled 'axon' TPU platform ``block_until_ready`` does
 NOT synchronize (verified: it reports PFLOP-scale fiction).  The honest
@@ -16,6 +26,15 @@ import time
 
 import numpy as np
 
+# v5e bf16 peak; calibration: 50 chained 8192^3 bf16 matmuls measure
+# 177 TFLOPS on this chip with the differencing method (PERF.md)
+PEAK_FLOPS = 197e12
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float):
+    print(json.dumps({'metric': metric, 'value': round(value, 4),
+                      'unit': unit, 'vs_baseline': round(vs_baseline, 4)}))
+
 
 def _timed_iters(run, inputs, n_iters: int) -> float:
     """Wall time of n_iters chained executions, synced by a scalar fetch."""
@@ -27,13 +46,19 @@ def _timed_iters(run, inputs, n_iters: int) -> float:
     return time.perf_counter() - t0
 
 
-def main():
-    import jax
+def _per_iter_seconds(run, inputs, n_lo=4, n_hi=24, repeats=3) -> float:
+    import jax  # noqa: F401  (backend must be live before timing)
+    _ = float(run(inputs[0]).reshape(-1)[0])  # compile + tunnel warmup
+    _timed_iters(run, inputs, 2)
+    t_lo = min(_timed_iters(run, inputs, n_lo) for _ in range(repeats))
+    t_hi = min(_timed_iters(run, inputs, n_hi) for _ in range(repeats))
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+
+def bench_preprocess():
     import jax.numpy as jnp
     from ecg_representation_learning_tpu.ops import fused_train_path
     from ecg_representation_learning_tpu.registry import PTBXL_TRAIN_STATS
-    from ecg_representation_learning_tpu.runtime import enable_compilation_cache
-    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     batch = 2048
@@ -42,26 +67,122 @@ def main():
     std = jnp.asarray(PTBXL_TRAIN_STATS['original']['std'], jnp.float32)
 
     def run(a):
-        return fused_train_path(a, mean, std, fqs=500, target_fqs=250, patch_size=64)
+        return fused_train_path(a, mean, std, fqs=500, target_fqs=250,
+                                patch_size=64)
 
     inputs = [jnp.asarray(x_np + np.float32(i)) for i in range(2)]
-    # compile + one-time tunnel-transfer setup + warmup
-    _ = float(run(inputs[0]).reshape(-1)[0])
-    _timed_iters(run, inputs, 2)
-
-    n_lo, n_hi = 4, 24
-    t_lo = min(_timed_iters(run, inputs, n_lo) for _ in range(3))
-    t_hi = min(_timed_iters(run, inputs, n_hi) for _ in range(3))
-    per_iter = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
-
+    per_iter = _per_iter_seconds(run, inputs)
     recs_per_sec = batch / per_iter
-    baseline = 10_000.0  # BASELINE.md north-star target
-    print(json.dumps({
-        'metric': 'preprocess_records_per_sec_per_chip',
-        'value': round(recs_per_sec, 1),
-        'unit': 'records/s',
-        'vs_baseline': round(recs_per_sec / baseline, 3),
-    }))
+    _emit('preprocess_records_per_sec_per_chip', recs_per_sec, 'records/s',
+          recs_per_sec / 10_000.0)  # BASELINE.md north-star target
+
+
+def bench_train():
+    """The REAL supervised train step: Trainer._build_steps program, dropout
+    active, AdamW + clip, donated state, HBM-resident index-gather inputs."""
+    import jax
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.models.vit import train_step_flops_per_sample
+    from ecg_representation_learning_tpu.train.trainer import SplitData, Trainer
+
+    bsz = 64
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+    cfg = TrainConfig(train_batch_size=bsz, do_eval=False)
+    rng = np.random.default_rng(0)
+    n = 512
+    data = SplitData(
+        signals=rng.standard_normal((n, 12, 2500)).astype(np.float32),
+        labels=(rng.uniform(size=(n, 71)) > 0.9).astype(np.float32))
+    tr = Trainer(model_cfg, cfg, train_data=data, output_dir='/tmp/bench-train')
+    tr.init_state()
+    tr._build_steps()
+
+    sigs, labs, _ = tr._step_inputs(data, np.arange(bsz))
+    idxs = [jnp.asarray(rng.integers(0, n, bsz).astype(np.int32))
+            for _ in range(2)]
+    state = {'s': tr.state, 'nf': jnp.zeros((), jnp.int32)}
+
+    def run(idx):
+        with tr.mesh:
+            state['s'], metrics, _, state['nf'] = tr._train_step(
+                state['s'], sigs, labs, idx, state['nf'])
+        return metrics['loss']
+
+    per_iter = _per_iter_seconds(run, idxs)
+    samples_per_sec = bsz / per_iter
+    flops_per_step = train_step_flops_per_sample(model_cfg) * bsz
+    mfu = flops_per_step / per_iter / PEAK_FLOPS
+    # speed-of-light samples/s at 100% MFU; vs_baseline = fraction of it
+    sol = PEAK_FLOPS / train_step_flops_per_sample(model_cfg)
+    _emit('train_vitbase_samples_per_sec', samples_per_sec, 'samples/s',
+          samples_per_sec / sol)
+    _emit('train_mfu', mfu, 'fraction', mfu)
+
+
+def bench_denoise():
+    import jax
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import PreprocessConfig
+    from ecg_representation_learning_tpu.ops import zheng_denoise
+
+    batch = 64
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((batch, 12, 2500)).astype(np.float32)
+    cfg = PreprocessConfig(nlm_search_width=128)
+    run = jax.jit(lambda a: zheng_denoise(a, fqs=250, cfg=cfg))
+    inputs = [jnp.asarray(x_np + np.float32(i)) for i in range(2)]
+    per_iter = _per_iter_seconds(run, inputs, n_lo=2, n_hi=8)
+    recs_per_sec = batch / per_iter
+    # reference anecdote: the Python chain is minutes/record on CPU
+    # (data_preprocessor.py:211-213); score against the 10k/s north star
+    _emit('denoise_records_per_sec', recs_per_sec, 'records/s',
+          recs_per_sec / 10_000.0)
+
+
+def bench_mae_stream():
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import (MaeConfig, TrainConfig,
+                                                         VitConfig)
+    from ecg_representation_learning_tpu.models.vit import forward_flops_per_sample
+    from ecg_representation_learning_tpu.registry import PTBXL_TRAIN_STATS
+    from ecg_representation_learning_tpu.train.pretrain import MaeTrainer
+
+    bsz = 64
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+    tr = MaeTrainer(model_cfg, MaeConfig(), TrainConfig(train_batch_size=bsz),
+                    norm_stats={'mean': PTBXL_TRAIN_STATS['original']['mean'],
+                                'std': PTBXL_TRAIN_STATS['original']['std']},
+                    output_dir='/tmp/bench-mae')
+    tr.init_state()
+    step_fn = tr.build_stream_step(raw_fqs=500)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((bsz, 12, 5000)).astype(np.float32)
+    batches = [jnp.asarray(x + np.float32(i)) for i in range(2)]
+    state = {'s': tr.state}
+
+    def run(sig):
+        with tr.mesh:
+            state['s'], loss = step_fn(state['s'], sig)
+        return loss
+
+    per_iter = _per_iter_seconds(run, batches)
+    samples_per_sec = bsz / per_iter
+    # MFU-style score: encoder sees 25% of patches, decoder is small -- use a
+    # conservative encoder-only visible-token FLOP estimate for vs_baseline
+    enc_flops = forward_flops_per_sample(model_cfg) * 0.25 * 3
+    sol = PEAK_FLOPS / enc_flops
+    _emit('mae_stream_samples_per_sec', samples_per_sec, 'samples/s',
+          samples_per_sec / sol)
+
+
+def main():
+    from ecg_representation_learning_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    bench_preprocess()
+    bench_train()
+    bench_denoise()
+    bench_mae_stream()
 
 
 if __name__ == '__main__':

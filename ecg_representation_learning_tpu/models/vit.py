@@ -251,6 +251,29 @@ def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
 
+def forward_flops_per_sample(cfg: VitConfig) -> float:
+    """Analytic matmul FLOPs of one supervised forward pass per sample
+    (2*M*K*N per GEMM; elementwise/LayerNorm omitted -- standard MFU
+    accounting).  Used by bench.py to report model FLOPs utilization."""
+    t = cfg.num_patches + 1  # +cls token
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    patch_embed = 2 * (cfg.num_channels * cfg.patch_size) * h * cfg.num_patches
+    per_layer = (
+        2 * h * 3 * h * t        # qkv projection
+        + 2 * t * t * h          # q @ k^T (over all heads: H * T*T*D = T*T*h)
+        + 2 * t * t * h          # probs @ v
+        + 2 * h * h * t          # output projection
+        + 2 * h * i * t * 2      # MLP fc1 + fc2
+    )
+    head = 2 * h * cfg.num_class
+    return float(patch_embed + cfg.num_hidden_layers * per_layer + head)
+
+
+def train_step_flops_per_sample(cfg: VitConfig) -> float:
+    """fwd + bwd ~= 3x forward (the standard 1:2 fwd:bwd FLOP ratio)."""
+    return 3.0 * forward_flops_per_sample(cfg)
+
+
 def unstack_scanned_params(params, num_layers: int):
     """Convert a ``scan_blocks=True`` param tree (stacked ``blocks`` with a
     leading (L,) axis) into the unrolled ``block_i`` layout, so scan-trained

@@ -5,8 +5,10 @@ from .metrics import (binary_stats, classification_report, get_accuracy,
 from .trainer import SplitData, Trainer, TrainState, get_all_setup
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .long_record import EcgMim, RingPretrainer
+from .pipeline_vit import PipelineVitTrainer
 
 __all__ = [
+    'PipelineVitTrainer',
     'make_optimizer', 'make_schedule',
     'binary_stats', 'classification_report', 'get_accuracy',
     'multilabel_auroc', 'per_class_recall', 'roc_auc',

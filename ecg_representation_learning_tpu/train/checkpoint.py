@@ -44,24 +44,33 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, _to_pytree(like_state))
-    # restore raw (saved structure, no template): a failure here is genuine
-    # corruption / missing checkpoint and propagates
-    raw = ckptr.restore(path)
-    if _tree_shapes(raw.get('params')) == _tree_shapes(template['params']):
-        if _tree_shapes(raw.get('opt_state')) != _tree_shapes(template['opt_state']):
-            logging.getLogger(__name__).warning(
-                'optimizer state in %s does not match this trainer '
-                '(different optimizer chain, e.g. linear-probe vs full); '
-                'restored params/step/rng and reinitialized the optimizer', path)
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception:
+        # diagnose with a raw (template-free) restore; a failure THERE is
+        # genuine corruption / a missing checkpoint and propagates
+        raw = ckptr.restore(path)
+        if _tree_shapes(raw.get('params')) != _tree_shapes(template['params']):
+            raise ValueError(
+                f'checkpoint {path} params do not match this model: saved '
+                f'{_shape_summary(raw.get("params"))} vs expected '
+                f'{_shape_summary(template["params"])} -- wrong model '
+                f'size/config?') from None
+        if _tree_shapes(raw.get('opt_state')) == _tree_shapes(template['opt_state']):
+            raise  # params AND opt_state match -- the failure is something else
+        logging.getLogger(__name__).warning(
+            'optimizer state in %s does not match this trainer '
+            '(different optimizer chain, e.g. linear-probe vs full); '
+            'restored params/step/rng and reinitialized the optimizer', path)
         restored = {'step': raw['step'], 'params': raw['params'],
-                    'rng': raw['rng'], 'opt_state':
-                        raw['opt_state'] if _tree_shapes(raw.get('opt_state'))
-                        == _tree_shapes(template['opt_state'])
-                        else template['opt_state']}
-    else:
+                    'rng': raw['rng'], 'opt_state': template['opt_state']}
+    # orbax can return the SAVED shapes without raising when the template
+    # disagrees -- catch wrong-model checkpoints loudly (the fallback branch
+    # above already verified its params, so this is a no-op there)
+    if _tree_shapes(restored['params']) != _tree_shapes(template['params']):
         raise ValueError(
             f'checkpoint {path} params do not match this model: saved '
-            f'{_shape_summary(raw.get("params"))} vs expected '
+            f'{_shape_summary(restored["params"])} vs expected '
             f'{_shape_summary(template["params"])} -- wrong model size/config?')
     state = _from_pytree(like_state, restored)
     extra = {}
@@ -72,12 +81,24 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     return state, extra
 
 
+def _norm_key(k) -> str:
+    """Container-agnostic path entry: orbax's raw restore returns plain
+    nested dicts where the live tree has tuples / optax namedtuples, so
+    SequenceKey(0) and DictKey('0') (or GetAttrKey('mu') and DictKey('mu'))
+    must compare equal."""
+    for attr in ('idx', 'key', 'name'):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def _tree_shapes(tree):
-    """{path: shape} map of a pytree's array leaves (None-safe)."""
+    """{normalized path: shape} map of a pytree's array leaves (None-safe)."""
     if tree is None:
         return None
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {jax.tree_util.keystr(path): np.shape(leaf) for path, leaf in flat}
+    return {'/'.join(_norm_key(k) for k in path): np.shape(leaf)
+            for path, leaf in flat}
 
 
 def _shape_summary(tree, limit: int = 4) -> str:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import weakref
 from typing import Any, Dict, Optional
 
 import jax
@@ -21,7 +22,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..configs import MaeConfig, TrainConfig, VitConfig
 from ..models.mae import EcgMae
-from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel.mesh import (DATA_AXIS, batch_sharding, make_mesh,
+                             opt_state_shardings, param_shardings, replicated)
 from ..utils.logging import TbWriter, get_logger
 from .optim import make_optimizer
 from .trainer import SplitData, TrainState, _prep_batch
@@ -71,20 +73,37 @@ class MaeTrainer:
                            self.model_cfg.max_signal_length), jnp.float32)
         params = self.model.init({'params': init_rng, 'mask': mask_rng}, dummy)
         opt_state = self.optimizer.init(params)
-        pspec = param_shardings(params, self.mesh)
+        # same parallel surface as the supervised Trainer: TP/Megatron param
+        # rules + optional ZeRO/FSDP storage sharding of params AND the Adam
+        # moments over the data axis
+        pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
+        osh = opt_state_shardings(opt_state, pspec, self.mesh)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh)),
             params=jax.tree.map(jax.device_put, params, pspec),
-            opt_state=jax.device_put(opt_state, replicated(self.mesh)),
+            opt_state=jax.tree.map(jax.device_put, opt_state, osh),
             rng=jax.device_put(rng, replicated(self.mesh)),
         )
         return self.state
 
+    def _tp_ctx(self):
+        """Trace-time context mgr factory: under tensor parallelism the flash
+        kernel must run through the shard_map wrap (pallas_call has no GSPMD
+        partitioning rules) -- same policy as Trainer._build_steps."""
+        import contextlib
+
+        from ..ops.attention import flash_tp_context
+        if (self.mesh.shape.get('model', 1) > 1
+                and self.model_cfg.use_flash_attention):
+            return lambda: flash_tp_context(self.mesh)
+        return contextlib.nullcontext
+
     def _build_step(self):
         model, cfg = self.model, self.cfg
         mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
+        tp_ctx = self._tp_ctx()
 
-        def train_step(state: TrainState, signals, idx):
+        def train_step(state: TrainState, signals, idx, nonfinite_count):
             # HBM-resident split + on-device index gather (same policy as
             # trainer.Trainer._step_inputs); host-streaming mode passes the
             # batch itself with an iota idx
@@ -98,29 +117,42 @@ class MaeTrainer:
             sig = sig[..., :self.model_cfg.max_signal_length]
 
             def loss_fn(params):
-                out = model.apply(params, sig, deterministic=False,
-                                  rngs={'mask': mask_rng, 'dropout': do_rng})
+                with tp_ctx():  # trace-time: shard_map-wrap the flash kernel
+                    out = model.apply(params, sig, deterministic=False,
+                                      rngs={'mask': mask_rng, 'dropout': do_rng})
                 return out.loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            grad_norm = optax.global_norm(grads)
+            # numeric sanitizer (same as Trainer): zero a non-finite step's
+            # gradients so params never get poisoned, count the event on
+            # device; the host raises at its next sync point
+            finite = jnp.isfinite(grad_norm)
+            if cfg.debug_nans:
+                grads = jax.tree.map(
+                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(step=state.step + 1, params=params,
                                    opt_state=opt_state, rng=rng)
-            return new_state, {'loss': loss,
-                               'learning_rate': self.schedule(state.step)}
+            return new_state, {'loss': loss, 'grad_norm': grad_norm,
+                               'learning_rate': self.schedule(state.step)}, \
+                nonfinite_count
 
         def eval_step(params, signals, idx, mask_rng):
             sig = jnp.take(signals, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=False)
             sig = sig[..., :self.model_cfg.max_signal_length]
-            out = model.apply(params, sig, mask_rng=mask_rng, deterministic=True)
+            with tp_ctx():
+                out = model.apply(params, sig, mask_rng=mask_rng,
+                                  deterministic=True)
             return out.per_sample_loss
 
         with self.mesh:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 3))
             self._eval_step = jax.jit(eval_step)
 
     def _sig_inputs(self, data: SplitData, take: np.ndarray):
@@ -137,6 +169,8 @@ class MaeTrainer:
                     self._resident[key] = jax.device_put(
                         jnp.asarray(data.signals, jnp.float32),
                         replicated(self.mesh))
+                # evict on GC: id() reuse would alias a new split (see Trainer)
+                weakref.finalize(data, self._resident.pop, key, None)
             return self._resident[key], jnp.asarray(take.astype(np.int32))
         return (jnp.asarray(data.signals[take], jnp.float32),
                 jnp.arange(take.size, dtype=jnp.int32))
@@ -189,6 +223,48 @@ class MaeTrainer:
             losses.append(np.asarray(per_sample)[:n_real])
         return float(np.concatenate(losses).mean())
 
+    def build_stream_step(self, raw_fqs: Optional[int] = None,
+                          wire_scale: Optional[float] = None):
+        """The jitted streaming-pretrain step: on-device fused
+        resample+lowpass+normalize (when ``raw_fqs`` is set) -> masked-patch
+        forward/backward -> AdamW, state donated.  Exposed so ``train_stream``
+        and ``bench.py`` time the identical program."""
+        from ..ops.preprocess import fused_train_path
+        mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
+        bsharding = batch_sharding(self.mesh)
+        tp_ctx = self._tp_ctx()
+
+        def stream_step(state: TrainState, sig):
+            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+            sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
+            if wire_scale is not None:
+                sig = sig.astype(jnp.float32) / jnp.float32(wire_scale)
+            if raw_fqs is not None and raw_fqs != 250:
+                sig = fused_train_path(sig, mean, std, fqs=raw_fqs,
+                                       target_fqs=250, patch_size=patch)
+                sig = sig[..., :self.model_cfg.max_signal_length]
+            else:
+                sig = _prep_batch(sig, mean, std, patch, train=False)
+                sig = sig[..., :self.model_cfg.max_signal_length]
+
+            def loss_fn(params):
+                with tp_ctx():
+                    out = self.model.apply(
+                        params, sig, deterministic=False,
+                        rngs={'mask': mask_rng, 'dropout': do_rng})
+                return out.loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state, rng=rng), loss
+
+        with self.mesh:
+            return jax.jit(stream_step, donate_argnums=(0,),
+                           in_shardings=(None, bsharding))
+
     def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
                      log_every: int = 50,
                      wire_scale: Optional[float] = None,
@@ -219,7 +295,6 @@ class MaeTrainer:
         """
         import itertools
 
-        from ..ops.preprocess import fused_train_path
         from ..utils.misc import StepTimer
         cfg = self.cfg
         start_step = 0
@@ -234,37 +309,7 @@ class MaeTrainer:
             self.init_state()
         if ckpt_every:
             os.makedirs(self.output_dir, exist_ok=True)
-        mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
-        bsharding = batch_sharding(self.mesh)
-
-        def stream_step(state: TrainState, sig):
-            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
-            sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
-            if wire_scale is not None:
-                sig = sig.astype(jnp.float32) / jnp.float32(wire_scale)
-            if raw_fqs is not None and raw_fqs != 250:
-                sig = fused_train_path(sig, mean, std, fqs=raw_fqs,
-                                       target_fqs=250, patch_size=patch)
-                sig = sig[..., :self.model_cfg.max_signal_length]
-            else:
-                sig = _prep_batch(sig, mean, std, patch, train=False)
-                sig = sig[..., :self.model_cfg.max_signal_length]
-
-            def loss_fn(params):
-                out = self.model.apply(params, sig, deterministic=False,
-                                       rngs={'mask': mask_rng, 'dropout': do_rng})
-                return out.loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(step=state.step + 1, params=params,
-                              opt_state=opt_state, rng=rng), loss
-
-        with self.mesh:
-            step_fn = jax.jit(stream_step, donate_argnums=(0,),
-                              in_shardings=(None, bsharding))
+        step_fn = self.build_stream_step(raw_fqs=raw_fqs, wire_scale=wire_scale)
         timer = StepTimer()
         last_loss = float('nan')
         host_step = start_step
@@ -299,6 +344,10 @@ class MaeTrainer:
                 self.load_checkpoint(path)
                 self.logger.info(f'Resumed from {path} (epoch {self.epoch})')
         tb = TbWriter(os.path.join(self.output_dir, 'tb'))
+        # triple sink like the supervised Trainer: colored console + plain
+        # file + TensorBoard (reference train.py:380-397)
+        logger_fl = get_logger('EcgMae PretrainFile',
+                               file_path=os.path.join(self.output_dir, 'pretrain.log'))
         if self.state is None:
             self.init_state()
         if self._train_step is None:
@@ -309,6 +358,7 @@ class MaeTrainer:
         last_loss = None
         best_eval_loss, n_bad_ep = float('inf'), 0
         eval_history = []
+        nonfinite = jnp.zeros((), jnp.int32)
         for _ in range(self.epoch, cfg.num_train_epoch):
             self.epoch += 1
             idx = np.arange(n)
@@ -318,17 +368,28 @@ class MaeTrainer:
                 take = idx[i:i + cfg.train_batch_size]
                 sigs, take_dev = self._sig_inputs(self.train_data, take)
                 with self.mesh:
-                    self.state, metrics = self._train_step(
-                        self.state, sigs, take_dev)
+                    self.state, metrics, nonfinite = self._train_step(
+                        self.state, sigs, take_dev, nonfinite)
                 self._host_step += 1
                 step = self._host_step
                 if step % max(1, self.steps_per_epoch // 4) == 0:
+                    if cfg.debug_nans and int(nonfinite) > 0:
+                        raise FloatingPointError(
+                            f'non-finite gradient norm by step {step} '
+                            f'({int(nonfinite)} bad steps; params unpoisoned)')
                     last_loss = float(metrics['loss'])
                     payload = {'pretrain/loss': last_loss,
                                'pretrain/lr': float(metrics['learning_rate']),
+                               'pretrain/grad_norm': float(metrics['grad_norm']),
                                'epoch': self.epoch, 'step': step}
                     self.logger.info(str(payload))
+                    logger_fl.info(str(payload))
                     tb.log(payload, step)
+            if cfg.debug_nans and int(nonfinite) > 0:
+                # epoch-end check covers throttled-logging configs
+                raise FloatingPointError(
+                    f'non-finite gradient norm during epoch {self.epoch} '
+                    f'({int(nonfinite)} bad steps; params unpoisoned)')
             if cfg.save_every_n_epoch and self.epoch % cfg.save_every_n_epoch == 0:
                 self.save_checkpoint(tag=f'ep{self.epoch}')
             if cfg.do_eval and self.eval_data is not None and len(self.eval_data):
@@ -337,6 +398,7 @@ class MaeTrainer:
                 payload = {'pretrain/eval_loss': ev, 'epoch': self.epoch,
                            'step': self._host_step}
                 self.logger.info(str(payload))
+                logger_fl.info(str(payload))
                 tb.log(payload, self._host_step)
                 if ev < best_eval_loss:
                     best_eval_loss, n_bad_ep = ev, 0

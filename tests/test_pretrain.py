@@ -189,3 +189,53 @@ def test_mae_evaluate_split_smaller_than_batch(tmp_path):
     tr.init_state()
     loss = tr.evaluate()
     assert np.isfinite(loss), loss
+
+
+def test_mae_fsdp_dp_tp_mesh(tmp_path):
+    # MaeTrainer parallel parity with Trainer (round-3): DP x TP mesh, FSDP
+    # storage sharding of params AND Adam moments, flash kernel active via
+    # the shard_map wrap, sanitizer threaded through the step
+    from ecg_representation_learning_tpu.parallel import make_mesh
+
+    flash_cfg = VitConfig.from_defined(
+        'debug', max_signal_length=320, use_flash_attention=True,
+        flash_interpret=True, flash_min_seq=0)
+    signals, labels, folds = synth_ptbxl(n=64, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=16,
+                      mesh_data=4, mesh_model=2, fsdp=True, do_eval=True,
+                      eval_batch_size=16)
+    tr = MaeTrainer(flash_cfg, MAE_CFG, cfg, train_data=splits.train,
+                    eval_data=splits.eval, output_dir=str(tmp_path / 'mae-mesh'))
+    assert tr.mesh.shape == {'data': 4, 'model': 2}
+    res = tr.train()
+    assert np.isfinite(res['loss'])
+
+    # params: the Megatron 'model' rules hold AND something shards over 'data'
+    qkv = tr.state.params['params']['encoder_block_0']['attn']['qkv']['kernel']
+    assert 'model' in [s for s in qkv.sharding.spec if s]
+    mu = tr.state.opt_state[1][0].mu  # (clip, (adam, wd, lr)) chain
+    mu_leaves = [l for l in jax.tree.leaves(mu) if l.ndim >= 2]
+    assert any('data' in [s for s in l.sharding.spec if s] for l in mu_leaves), \
+        'FSDP: no Adam moment sharded over data'
+    # eval still works under the mesh
+    ev = tr.evaluate()
+    assert np.isfinite(ev)
+
+
+def test_mae_nonfinite_grad_sanitizer(tmp_path):
+    # poisoned inputs -> the on-device counter trips and the host raises,
+    # params never see the non-finite update (Trainer parity)
+    import pytest
+    signals, labels, folds = synth_ptbxl(n=64, length=256)
+    signals[:, 0, 0] = np.inf
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=16, do_eval=False,
+                      debug_nans=True)
+    tr = MaeTrainer(MODEL_CFG, MAE_CFG, cfg, train_data=splits.train,
+                    output_dir=str(tmp_path / 'mae-nan'))
+    with pytest.raises(FloatingPointError, match='non-finite'):
+        tr.train()
+    # params stayed finite (grads were zeroed on the bad steps)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(tr.state.params))
