@@ -182,6 +182,13 @@ class TrainConfig:
     mesh_data: Optional[int] = None     # data-parallel axis size (None = all
                                         # devices not claimed by mesh_model)
     mesh_model: int = 1                 # model (tensor-parallel) axis size
+    mesh_stage: int = 1                 # pipeline-parallel stage count: >1
+                                        # stages the transformer stack over a
+                                        # 'stage' mesh axis (GPipe microbatch
+                                        # schedule, train/pipeline_vit.py);
+                                        # requires VitConfig.scan_blocks and
+                                        # the PipelineVitTrainer; composes
+                                        # with mesh_data (DP x PP)
     fsdp: bool = False                  # ZeRO-style fully-sharded storage:
                                         # params + Adam moments sharded over
                                         # 'data' (largest free dim); GSPMD

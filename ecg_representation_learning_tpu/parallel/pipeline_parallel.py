@@ -51,20 +51,28 @@ def pipeline_apply(
     block_fn: Callable,
     mesh: Mesh,
     axis: str = STAGE_AXIS,
+    x_spec: P = P(),
+    rng=None,
 ):
     """Pipelined forward over the stage axis.
 
     ``stage_params``: (S, L/S, ...) pytree, sharded P(axis) on axis 0.
-    ``x_micro``: (M, ...) microbatched input (replicated).
-    ``block_fn(layer_params, activation) -> activation`` applies ONE block.
-    Returns the (M, ...) outputs, replicated.  Differentiable: grads w.r.t.
-    ``stage_params`` come back sharded P(axis).
+    ``x_micro``: (M, ...) microbatched input, laid out per ``x_spec``
+    (``P()`` replicated, or e.g. ``P(None, 'data')`` to compose with data
+    parallelism: microbatch dim first, per-microbatch batch dim sharded over
+    the mesh's 'data' axis -- every data shard then runs its own pipeline).
+    ``block_fn(layer_params, activation) -> activation`` applies ONE block;
+    when ``rng`` is given the signature is ``(layer_params, activation, key)``
+    and each (pipeline-step, stage, layer) gets a distinct folded key
+    (per-microbatch dropout).
+    Returns the (M, ...) outputs, laid out per ``x_spec``.  Differentiable:
+    grads w.r.t. ``stage_params`` come back sharded P(axis).
     """
     n_stage = mesh.shape[axis]
     m = x_micro.shape[0]
     n_steps = m + n_stage - 1
 
-    def local(params_s, x_all):
+    def local(params_s, x_all, *rng_arg):
         # params_s: (1, L/S, ...) -- this device's layers
         params_local = jax.tree.map(lambda a: a[0], params_s)
         sid = jax.lax.axis_index(axis)
@@ -79,7 +87,21 @@ def pipeline_apply(
             act0 = jax.lax.pvary(act0, axis)
             out0 = jax.lax.pvary(out0, axis)
 
-        def apply_stage(act):
+        def apply_stage(act, t):
+            if rng_arg:
+                # distinct dropout stream per (pipeline step, stage, layer)
+                base = jax.random.fold_in(rng_arg[0], t * n_stage + sid)
+
+                def layer(carry, lp_i):
+                    lp, i = lp_i
+                    return block_fn(lp, carry,
+                                    jax.random.fold_in(base, i)), None
+                n_local = jax.tree.leaves(params_local)[0].shape[0]
+                h, _ = jax.lax.scan(
+                    layer, act,
+                    (params_local, jnp.arange(n_local, dtype=jnp.int32)))
+                return h
+
             def layer(h, lp):
                 return block_fn(lp, h), None
             h, _ = jax.lax.scan(layer, act, params_local)
@@ -91,7 +113,7 @@ def pipeline_apply(
             mb = jax.lax.dynamic_index_in_dim(x_all, jnp.minimum(t, m - 1),
                                               keepdims=False)
             act = jnp.where(sid == 0, mb, act_in)
-            act = apply_stage(act)
+            act = apply_stage(act, t)
             # the last stage finished microbatch (t - S + 1) at this step
             done_idx = t - (n_stage - 1)
             valid = jnp.logical_and(sid == n_stage - 1,
@@ -110,8 +132,13 @@ def pipeline_apply(
         return jax.lax.psum(out, axis)
 
     pspec = jax.tree.map(lambda _: P(axis), stage_params)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(pspec, P()), out_specs=P(),
-                       check_vma=False)
+    if rng is not None:
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(pspec, x_spec, P()), out_specs=x_spec,
+                           check_vma=False)
+        return fn(stage_params, x_micro, rng)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(pspec, x_spec),
+                       out_specs=x_spec, check_vma=False)
     return fn(stage_params, x_micro)
 
 

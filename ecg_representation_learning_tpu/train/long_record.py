@@ -73,14 +73,32 @@ class EcgMim(nn.Module):
         return (per_patch * mask).sum(), mask.sum()
 
 
+def _exact_count_mask(rng: jax.Array, batch: int, n_patches: int,
+                      n_mask: int) -> jnp.ndarray:
+    """Per-sample patch mask with EXACTLY ``n_mask`` ones per row, generated
+    on device (no host-side Python loop): rank a uniform draw per row and
+    mask its ``n_mask`` smallest entries."""
+    u = jax.random.uniform(rng, (batch, n_patches))
+    kth = jnp.sort(u, axis=1)[:, n_mask - 1:n_mask]
+    return (u <= kth).astype(jnp.float32)
+
+
 class RingPretrainer:
     """Context-parallel masked-signal pretrainer: sequence sharded over
-    ``seq_axis`` of ``mesh``, ring attention inside, params replicated."""
+    ``seq_axis`` of ``mesh``, ring attention inside, params replicated.
+
+    Round-3 hardening (the loop aimed at the LONGEST-running jobs):
+    full (step, params, opt_state, rng) train state, orbax checkpoint /
+    kill-and-resume (deterministic streams skip consumed batches, the
+    resumable-export ethos of DataExport.m:28-44), and device-side mask
+    generation inside the jitted step (the round-2 host loop built masks in
+    Python per sample)."""
 
     def __init__(self, model_cfg: VitConfig, train_cfg: TrainConfig,
                  mesh: Mesh, seq_axis: str = 'data',
-                 mask_ratio: float = 0.5, total_steps: int = 1000):
-        import dataclasses
+                 mask_ratio: float = 0.5, total_steps: int = 1000,
+                 output_dir: str = None):
+        import os
         assert model_cfg.ring_axis == seq_axis, \
             'set VitConfig.ring_axis to the sequence mesh axis'
         self.cfg = model_cfg
@@ -92,12 +110,14 @@ class RingPretrainer:
         assert model_cfg.max_signal_length % (model_cfg.patch_size * self.n_shards) == 0
         self.model = EcgMim(model_cfg)
         self.optimizer, self.schedule = make_optimizer(train_cfg, total_steps)
-        self.params = None
-        self.opt_state = None
+        self.state = None
+        self.output_dir = output_dir or os.path.join('runs', 'ring-cp')
         self._step = None
 
     def init(self, seed: int = 0):
         import dataclasses
+
+        from .trainer import TrainState
         cfg = self.cfg
         l_local = cfg.max_signal_length // self.n_shards
         p_local = l_local // cfg.patch_size
@@ -106,15 +126,19 @@ class RingPretrainer:
         # init outside shard_map: the ring path needs a live axis name, but
         # its param tree is identical to plain attention -- init without it
         init_model = EcgMim(dataclasses.replace(cfg, ring_axis=None))
-        self.params = init_model.init({'params': jax.random.PRNGKey(seed)},
-                                      dummy_x, dummy_m, 0)
-        self.opt_state = self.optimizer.init(self.params)
-        return self.params
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng = jax.random.split(rng)
+        params = init_model.init({'params': init_rng}, dummy_x, dummy_m, 0)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                opt_state=self.optimizer.init(params), rng=rng)
+        return self.state
 
     def _build(self):
+        from .trainer import TrainState
         cfg, mesh, axis = self.cfg, self.mesh, self.seq_axis
         p_total = cfg.num_patches
         p_local = p_total // self.n_shards
+        n_mask = max(1, int(round(p_total * self.mask_ratio)))
         model = self.model
 
         def local_loss(params, x_loc, m_loc):
@@ -130,39 +154,76 @@ class RingPretrainer:
             local_loss, mesh=mesh, in_specs=(P(), xs, ms), out_specs=P(),
             check_vma=False)
 
-        def step(params, opt_state, x, m):
+        def step(state: TrainState, x):
+            rng, mask_rng = jax.random.split(state.rng)
+            # mask generated ON DEVICE, global patch indexing, exact count
+            m = _exact_count_mask(mask_rng, x.shape[0], p_total, n_mask)
             loss, grads = jax.value_and_grad(
-                lambda p: sharded_loss(p, x, m))(params)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+                lambda p: sharded_loss(p, x, m))(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state, rng=rng), loss
 
         with mesh:
-            self._step = jax.jit(step, donate_argnums=(0, 1))
+            self._step = jax.jit(step, donate_argnums=(0,))
 
-    def make_mask(self, rng: np.random.Generator, batch: int) -> np.ndarray:
-        """Per-sample random patch mask (host-side, GLOBAL patch indexing)."""
-        p = self.cfg.num_patches
-        n_mask = max(1, int(round(p * self.mask_ratio)))
-        mask = np.zeros((batch, p), np.float32)
-        for i in range(batch):
-            mask[i, rng.choice(p, size=n_mask, replace=False)] = 1.0
-        return mask
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, tag: str = 'latest') -> str:
+        import os
+
+        from .checkpoint import save_checkpoint
+        path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
+        return save_checkpoint(path, self.state)
+
+    def latest_checkpoint(self):
+        import glob
+        import os
+        cands = [p for p in glob.glob(os.path.join(self.output_dir, 'ckpt-*'))
+                 if os.path.isdir(p)]
+        return max(cands, key=os.path.getmtime) if cands else None
+
+    def load_checkpoint(self, path: str):
+        from .checkpoint import restore_checkpoint
+        if self.state is None:
+            self.init()
+        self.state, _ = restore_checkpoint(path, self.state)
+        return self.state
 
     def train(self, batches: Iterable[np.ndarray], steps: int,
-              seed: int = 0) -> Dict[str, Any]:
-        """``batches``: iterator of (B, C, max_signal_length) arrays."""
+              seed: int = 0, ckpt_every: int = 0,
+              resume: bool = False) -> Dict[str, Any]:
+        """``batches``: iterator of (B, C, max_signal_length) arrays (e.g. a
+        :class:`~..data.pipeline.ShardedRecordStream`).  ``ckpt_every`` saves
+        every N steps; ``resume=True`` restores the latest checkpoint and,
+        for a deterministic stream, skips the consumed batches so the
+        continued run matches an uninterrupted one."""
         import itertools
-        if self.params is None:
+        import os
+        start_step = 0
+        if resume:
+            path = self.latest_checkpoint()
+            if path:
+                self.load_checkpoint(path)
+                start_step = int(self.state.step)
+        if self.state is None:
             self.init(seed)
         if self._step is None:
             self._build()
-        rng = np.random.default_rng(seed)
+        if ckpt_every:
+            os.makedirs(self.output_dir, exist_ok=True)
         losses = []
-        for x in itertools.islice(iter(batches), steps):
-            x = np.asarray(x, np.float32)
-            m = self.make_mask(rng, x.shape[0])
+        host_step = start_step
+        for x in itertools.islice(iter(batches), start_step, steps):
+            x = jnp.asarray(np.asarray(x, np.float32))
             with self.mesh:
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state, jnp.asarray(x), jnp.asarray(m))
+                self.state, loss = self._step(self.state, x)
             losses.append(float(loss))
-        return {'losses': losses, 'loss': losses[-1] if losses else None}
+            host_step += 1
+            if ckpt_every and host_step % ckpt_every == 0:
+                self.save_checkpoint()
+        if ckpt_every:
+            self.save_checkpoint()
+        return {'losses': losses, 'loss': losses[-1] if losses else None,
+                'steps': host_step}

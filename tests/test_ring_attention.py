@@ -129,3 +129,46 @@ def test_long_record_ring_pretrainer(rng):
     assert all(np.isfinite(l) for l in res['losses'])
     # structured signal: masked reconstruction must improve markedly
     assert res['losses'][-1] < 0.7 * res['losses'][0], res['losses']
+
+
+def test_ring_pretrainer_resume_from_sharded_stream(tmp_path, rng):
+    # round-3 hardening: the CP pretrainer consumes a real ShardedRecordStream
+    # and a kill-and-resume run reproduces the uninterrupted run bit-exactly
+    # (device-side masks come from state.rng, so they replay too)
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.data import (ShardedRecordStream,
+                                                      write_combined_hdf5)
+    from ecg_representation_learning_tpu.train.long_record import RingPretrainer
+
+    shard = write_combined_hdf5(
+        str(tmp_path / 'long.hdf5'),
+        rng.standard_normal((32, 4, 1024)).astype(np.float32))
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = VitConfig.from_defined(
+        'debug', max_signal_length=1024, patch_size=64, num_channels=4,
+        use_flash_attention=False, ring_axis='data',
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_ratio=0.0, schedule='constant')
+
+    def stream():
+        return iter(ShardedRecordStream([shard], batch_size=4, seed=5, loop=True))
+
+    # uninterrupted 6 steps
+    tr_a = RingPretrainer(cfg, tcfg, mesh, seq_axis='data', total_steps=6,
+                          output_dir=str(tmp_path / 'a'))
+    res_a = tr_a.train(stream(), steps=6)
+
+    # 3 steps -> checkpoint -> kill -> fresh pretrainer resumes, same stream
+    tr_b = RingPretrainer(cfg, tcfg, mesh, seq_axis='data', total_steps=6,
+                          output_dir=str(tmp_path / 'b'))
+    tr_b.train(stream(), steps=3, ckpt_every=3)
+    tr_c = RingPretrainer(cfg, tcfg, mesh, seq_axis='data', total_steps=6,
+                          output_dir=str(tmp_path / 'b'))
+    res_c = tr_c.train(stream(), steps=6, resume=True)
+    assert res_c['steps'] == 6
+    assert int(tr_c.state.step) == 6
+
+    for a, b in zip(jax.tree.leaves(tr_a.state.params),
+                    jax.tree.leaves(tr_c.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(np.isfinite(l) for l in res_a['losses'] + res_c['losses'])
