@@ -203,7 +203,7 @@ def synth_ecg(rng: np.random.Generator, n: int, n_lead: int = N_LEADS,
 
 
 def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500,
-                n_marker_classes: int = 0
+                n_marker_classes: int = 0, hard: bool = False
                 ) -> Tuple[np.ndarray, List[List[int]], np.ndarray]:
     """Synthetic (signals, label-id lists, strat_fold) shaped like PTB-XL.
 
@@ -215,16 +215,63 @@ def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500,
     marked by a distinct-frequency tone, so macro-AUROC over those classes is
     a meaningful end-to-end learning metric (the default scheme only carries
     markers for two classes, leaving macro-AUROC near chance by design).
+
+    ``hard=True`` (with ``n_marker_classes``) is the DISCRIMINATING quality
+    benchmark (round-3): pure tones saturate macro-AUROC at 1.000, so a sound
+    model instead lands in ~0.80-0.95 here and regressions move the number.
+    Hardness comes from overlap and partial observability, not label noise:
+      * PTB-XL-like long-tailed prevalence (p ~ 0.32 * 0.78^j, floor 0.05);
+      * overlapping frequency bands: class centers 1.2 Hz apart with +-0.7 Hz
+        per-record jitter, so neighboring classes' markers overlap;
+      * random amplitude (log-normal, some markers barely above the noise),
+        random phase, random 4-10-lead support, random time window (markers
+        cover 45-100% of the record);
+      * label-correlated confounders: a present class also injects its
+        NEIGHBOR class's band with p=0.2 (spurious feature, label absent);
+      * heteroscedastic noise: per-record sigma in [0.05, 0.22].
     """
     rng = np.random.default_rng(seed)
     signals = synth_ecg(rng, n, length=length)
     if n_marker_classes:
         t = np.arange(length, dtype=np.float32) / 250.0
-        present = rng.uniform(size=(n, n_marker_classes)) < 0.4
-        for j in range(n_marker_classes):
-            freq = 3.0 + 4.0 * j            # 3, 7, 11, ... Hz (< Nyquist)
-            tone = 0.3 * np.sin(2 * np.pi * freq * t).astype(np.float32)
-            signals[present[:, j]] += tone[None, None, :]
+        k = n_marker_classes
+        if hard:
+            prevalence = np.clip(0.32 * 0.78 ** np.arange(k), 0.05, None)
+            present = rng.uniform(size=(n, k)) < prevalence[None, :]
+            # spurious neighbor bands (injected, label NOT set)
+            confound = present & (rng.uniform(size=(n, k)) < 0.2)
+            for j in range(k):
+                inject = np.nonzero(present[:, j])[0]
+                spur = np.nonzero(confound[:, (j - 1) % k])[0]
+                rows = np.concatenate([inject, spur])
+                if rows.size == 0:
+                    continue
+                m = rows.size
+                freq = 3.2 + 1.2 * j + rng.uniform(-0.7, 0.7, (m, 1))
+                amp = 0.34 * rng.lognormal(0.0, 0.5, (m, 1)).astype(np.float32)
+                phase = rng.uniform(0, 2 * np.pi, (m, 1))
+                tone = (amp * np.sin(2 * np.pi * freq * t[None, :] + phase)
+                        ).astype(np.float32)                      # (m, L)
+                # random time window: start anywhere, span 45-100%
+                span = rng.uniform(0.45, 1.0, (m, 1))
+                start = rng.uniform(0, 1.0 - span, (m, 1))
+                frac = np.arange(length, dtype=np.float32)[None, :] / length
+                window = ((frac >= start) & (frac < start + span)
+                          ).astype(np.float32)
+                # random lead support, 4-10 of 12 leads
+                leads = (np.argsort(rng.uniform(size=(m, N_LEADS)), axis=1)
+                         < rng.integers(4, 11, (m, 1)))
+                signals[rows] += (tone * window)[:, None, :] \
+                    * leads[:, :, None].astype(np.float32)
+            sigma = rng.uniform(0.05, 0.22, (n, 1, 1)).astype(np.float32)
+            signals += sigma * rng.standard_normal(
+                (n, N_LEADS, length)).astype(np.float32)
+        else:
+            present = rng.uniform(size=(n, k)) < 0.4
+            for j in range(k):
+                freq = 3.0 + 4.0 * j        # 3, 7, 11, ... Hz (< Nyquist)
+                tone = 0.3 * np.sin(2 * np.pi * freq * t).astype(np.float32)
+                signals[present[:, j]] += tone[None, None, :]
         labels = [sorted(np.nonzero(present[i])[0].tolist())
                   or [n_marker_classes] for i in range(n)]
         strat_fold = rng.integers(1, 11, size=n)

@@ -283,6 +283,74 @@ class EcgTokenizer:
         return cls(**d)
 
     # ---------------------------------------------------------------- analysis
+    def centroid_grid(self, sigs: Optional[np.ndarray] = None,
+                      n_row: int = 4, n_col: int = 8, n_sample: int = 8,
+                      seed: int = 77, save: bool = True) -> list:
+        """Cluster-centroid browser (reference ecg_tokenizer.py:509-624) as a
+        static host-side report: a grid of centroid subplots ordered by
+        cluster frequency, each overlaid with up to ``n_sample`` member
+        segments when ``sigs`` is given, symmetric shared y-limits per page,
+        per-cell ``Seg #i, sz count`` titles.  The reference drives the same
+        grid with an interactive slider and saves its first and last frames
+        (ecg_tokenizer.py:609-621); this renders exactly those two pages.
+        Returns the saved figure paths (or shows interactively)."""
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        from ..utils.viz import save_fig as save_fig_
+        assert self.centers is not None, 'fit() first'
+        k_vocab = self.centers.shape[0]
+        per_page = n_row * n_col
+        n_pages = max(1, int(np.ceil(k_vocab / per_page)))
+        pages = sorted({0, n_pages - 1})
+        rng = np.random.default_rng(seed)
+        segs = ids = None
+        if sigs is not None and n_sample:
+            segs_j, _, _ = self._segment(sigs)
+            segs = np.asarray(segs_j)
+            ids = np.asarray(nearest_centroid(segs_j, jnp.asarray(self.centers))[0])
+        cs = sns.color_palette('husl', n_colors=per_page)
+        paths = []
+        for page in pages:
+            offset = page * per_page
+            n_plot = min(per_page, k_vocab - offset)
+            page_centers = self.centers[offset:offset + n_plot]
+            ylim = float(np.abs(page_centers).max()) * 1.25 or 1.0
+            fig, axes = plt.subplots(n_row, n_col,
+                                     figsize=(n_col * 3, n_row * 2))
+            axes = np.atleast_1d(axes).ravel()
+            for cell in range(per_page):
+                ax = axes[cell]
+                if cell >= n_plot:
+                    ax.set_visible(False)
+                    continue
+                ci = offset + cell
+                if segs is not None:
+                    members = np.nonzero(ids == ci)[0]
+                    take = (rng.choice(members, size=n_sample, replace=False)
+                            if members.size > n_sample else members)
+                    for si in take:
+                        ax.plot(segs[si], lw=0.25, marker='o', ms=0.3,
+                                c=cs[cell], alpha=0.5)
+                ax.plot(self.centers[ci], lw=0.75, marker='o', ms=0.9,
+                        c=cs[cell])
+                ax.set_title(f'Seg #{ci + 1}, sz {int(self.lens[ci])}',
+                             fontsize=8)
+                ax.set_ylim([-ylim, ylim])
+                ax.set_xticklabels([])
+                ax.set_yticklabels([])
+            title = (f'{self.fit_method} cluster centroid plot by frequency '
+                     f'with k={self.k}, n={self.n_sig}, '
+                     f'eps={self.cls_th}, page {page + 1} of {n_pages}')
+            fig.suptitle(title)
+            fig.tight_layout()
+            if save:
+                paths.append(save_fig_(title))
+                plt.close(fig)
+            else:
+                plt.show()
+        return paths
+
     def rank_frequency(self) -> Dict[str, np.ndarray]:
         """Cluster-size rank-frequency curve + power-law fit
         (reference ecg_tokenizer.py:443-487 / util/ecg.py fit_power_law)."""

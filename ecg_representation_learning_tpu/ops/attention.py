@@ -560,8 +560,14 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
         return flash_attention(q, k, v, 0, None, 128, 128, interpret)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                         preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.asarray(jax.nn.softmax(logits, axis=-1), v.dtype)
     if active:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
+        # raw-bits compare + multiply, applied AFTER the bf16 cast: no f32
+        # uniform conversion and half the elementwise traffic on the (padded)
+        # (B,H,T,T) tensor vs bernoulli+where on f32 probs -- measured 7.3 ms
+        # of a 62.8 ms ViT-base bs-192 step (PERF.md round 3).  keep-prob is
+        # quantized to 1/2^32 (identical in distribution for any real rate).
+        bits = jax.random.bits(dropout_rng, probs.shape, jnp.uint32)
+        thresh = jnp.uint32(round((1.0 - dropout_rate) * float(0xFFFFFFFF)))
+        probs = probs * (bits < thresh).astype(v.dtype) / (1.0 - dropout_rate)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)

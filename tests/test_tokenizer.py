@@ -126,3 +126,19 @@ def test_kmeans_large_n_bounded_memory(rng):
     ids, dist = nearest_centroid(x, centers)
     assert ids.shape == (n,) and int(np.asarray(ids).max()) < 256
     assert np.isfinite(float(inertia))
+
+
+def test_centroid_grid_renders(tmp_path, rng):
+    # the cluster-centroid browser (reference ecg_tokenizer.py:509-624) as a
+    # static report: first + last pages render with member-segment overlays
+    import os
+    os.chdir(tmp_path)
+    from ecg_representation_learning_tpu.models.tokenizer import EcgTokenizer
+    sigs = rng.standard_normal((12, 2, 160)).astype(np.float32)
+    tok = EcgTokenizer(k=8).fit(sigs, n_clusters=48, n_iter=8)
+    paths = tok.centroid_grid(sigs=sigs, n_row=2, n_col=4, n_sample=4)
+    assert len(paths) == 2  # first + last page (48 clusters / 8 per page)
+    assert all(os.path.exists(p) for p in paths)
+    # without member overlays (no sigs) it still renders
+    paths2 = tok.centroid_grid(n_row=4, n_col=12)  # single page
+    assert len(paths2) == 1 and os.path.exists(paths2[0])

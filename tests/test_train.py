@@ -336,3 +336,34 @@ def test_fsdp_shards_params_and_moments(tmp_path):
     _, res_plain = run(False)
     np.testing.assert_allclose(res['history'][-1]['loss'],
                                res_plain['history'][-1]['loss'], rtol=2e-4)
+
+
+def test_hard_marker_corpus_discriminating_band(tmp_path):
+    # round-3 quality gate: the HARD synthetic benchmark (overlapping bands,
+    # amplitude noise, lead/time-windowed markers, spurious neighbor bands,
+    # long-tailed prevalence) must land in a DISCRIMINATING band -- high
+    # enough to prove learning, far enough from 1.000 that a regression moves
+    # the number (the pure-tone corpus saturates at 1.000 and detects nothing)
+    from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+    from ecg_representation_learning_tpu.train.metrics import roc_auc
+
+    k = 8
+    signals, labels, folds = synth_ptbxl(n=768, length=640,
+                                         n_marker_classes=k, hard=True)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    cfg = TrainConfig(num_train_epoch=14, train_batch_size=32,
+                      eval_batch_size=64, learning_rate=2e-3,
+                      log_to_console=False)
+    tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
+                 output_dir=str(tmp_path / 'hard'))
+    tr.train()
+    ev = tr.evaluate(splits.test, return_predictions=True)
+    probs = ev['predictions']['probs']
+    labs = ev['predictions']['labels']
+    aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
+    valid = [a for a in aucs if a is not None]
+    macro = float(np.mean(valid))
+    # calibrated 0.82 (round 3); the band is the regression gate
+    assert 0.72 <= macro <= 0.97, (macro, aucs)
