@@ -32,6 +32,9 @@ def _add_common_train_flags(p):
     p.add_argument('--timeout-augment', action='store_true')
     p.add_argument('--mesh-model', type=int, default=1,
                    help='tensor-parallel axis size (data axis = n_devices / this)')
+    p.add_argument('--fsdp', action='store_true',
+                   help='ZeRO-style storage sharding of params + Adam moments '
+                        'over the data axis')
     p.add_argument('--seed', type=int, default=77)
     p.add_argument('--output-dir', default=None)
     p.add_argument('--n-sample', type=int, default=None)
@@ -98,6 +101,8 @@ def _maybe_port(args, trainer):
 
 
 def cmd_train(args):
+    import dataclasses
+
     from .configs import TrainConfig
     from .registry import PTBXL_TRAIN_STATS
     from .train import Trainer
@@ -109,9 +114,32 @@ def cmd_train(args):
         weight_decay=args.weight_decay, schedule=args.schedule,
         warmup_ratio=args.warmup_ratio, patience=args.patience,
         augment_timeout=args.timeout_augment, mesh_model=args.mesh_model,
+        fsdp=args.fsdp, mesh_stage=getattr(args, 'mesh_stage', 1),
         seed=args.seed, n_sample=args.n_sample,
         linear_probe=getattr(args, 'probe', False))
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
+    if cfg.mesh_stage > 1:
+        # pipeline-parallel training mode (train/pipeline_vit.py): the block
+        # stack staged over 'stage'; eval runs the merged plain model
+        import jax
+
+        from .train.pipeline_vit import PipelineVitTrainer
+        pp_model_cfg = dataclasses.replace(model_cfg, scan_blocks=True)
+        n_data = len(jax.devices()) // cfg.mesh_stage
+        pp = PipelineVitTrainer(
+            pp_model_cfg, dataclasses.replace(cfg, mesh_data=n_data),
+            train_data=splits.train, norm_stats=stats,
+            output_dir=args.output_dir)
+        result = pp.train()
+        ev_tr = Trainer(pp_model_cfg, TrainConfig(eval_batch_size=args.batch_size),
+                        norm_stats=stats, output_dir=args.output_dir)
+        ev_tr.init_state()
+        ev_tr.set_params(pp.merged_params())
+        test_metrics = ev_tr.evaluate(splits.test)
+        print(json.dumps({'train_loss': result['loss'],
+                          'test_macro_auc': test_metrics['macro_auc'],
+                          'mesh': f'{n_data} data x {cfg.mesh_stage} stage'}))
+        return
     tr = Trainer(model_cfg, cfg, train_data=splits.train, eval_data=splits.eval,
                  norm_stats=stats, output_dir=args.output_dir)
     _maybe_port(args, tr)
@@ -144,7 +172,7 @@ def cmd_pretrain(args):
         eval_batch_size=args.batch_size, learning_rate=args.lr,
         weight_decay=args.weight_decay, schedule=args.schedule,
         warmup_ratio=args.warmup_ratio, patience=args.patience,
-        mesh_model=args.mesh_model, seed=args.seed)
+        mesh_model=args.mesh_model, fsdp=args.fsdp, seed=args.seed)
     tr = MaeTrainer(model_cfg, mae_cfg, cfg, train_data=splits.train,
                     eval_data=splits.eval,
                     norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None,
@@ -281,7 +309,9 @@ def cmd_port(args):
 def cmd_synth(args):
     from .data import synth_ptbxl, write_combined_hdf5
     import pandas as pd
-    signals, labels, folds = synth_ptbxl(n=args.n, seed=args.seed)
+    signals, labels, folds = synth_ptbxl(
+        n=args.n, seed=args.seed, n_marker_classes=args.marker_classes,
+        hard=args.hard)
     h5 = write_combined_hdf5(os.path.join(args.out, 'PTB-XL-combined.hdf5'), signals)
     df = pd.DataFrame({'strat_fold': folds, 'labels': [str(l) for l in labels]})
     csv = os.path.join(args.out, 'ptb-xl-labels.csv')
@@ -326,6 +356,10 @@ def main(argv=None):
         if name in ('train', 'pretrain'):
             sp.add_argument('--resume-from', default=None)
         if name == 'train':
+            sp.add_argument('--mesh-stage', type=int, default=1,
+                            help='pipeline-parallel stage count (>1 stages '
+                                 'the transformer stack over a stage mesh '
+                                 'axis; GPipe microbatches)')
             sp.add_argument('--init-encoder', default=None, metavar='MAE_CKPT',
                             help='initialize the encoder trunk from an MAE '
                                  'pretrain checkpoint (cli pretrain output)')
@@ -376,6 +410,12 @@ def main(argv=None):
     ps = sub.add_parser('synth', help='write a synthetic PTB-XL-shaped corpus')
     ps.add_argument('--n', type=int, default=512)
     ps.add_argument('--seed', type=int, default=77)
+    ps.add_argument('--marker-classes', type=int, default=0,
+                    help='>0: mark that many classes with frequency-band '
+                         'markers (multi-class quality benchmark)')
+    ps.add_argument('--hard', action='store_true',
+                    help='discriminating variant: overlapping bands, noisy '
+                         'amplitudes, confounders, long-tailed prevalence')
     ps.add_argument('--out', default='data')
     ps.set_defaults(fn=cmd_synth)
 

@@ -183,23 +183,35 @@ def synth_ecg(rng: np.random.Generator, n: int, n_lead: int = N_LEADS,
               length: int = 2500, fqs: int = TARGET_FQS) -> np.ndarray:
     """ECG-morphology-ish synthetic 12-lead signals (QRS train + P/T-ish bumps
     + wander + noise), vectorized.  Not physiological -- just shaped like the
-    real corpus for pipeline/throughput work."""
-    t = np.arange(length) / fqs                              # (L,)
-    hr = rng.uniform(0.8, 1.8, (n, 1, 1))                    # beats/sec
-    phase0 = rng.uniform(0, 1, (n, 1, 1))
-    lead_gain = rng.uniform(0.4, 1.6, (n, n_lead, 1)) * np.sign(
-        rng.uniform(-0.3, 1.0, (n, n_lead, 1)))
-    phase = (t[None, None, :] * hr + phase0) % 1.0
-    qrs = np.exp(-((phase - 0.5) ** 2) / (2 * 0.0006))
-    twave = 0.25 * np.exp(-((phase - 0.72) ** 2) / (2 * 0.004))
-    pwave = 0.12 * np.exp(-((phase - 0.35) ** 2) / (2 * 0.002))
-    beat = (qrs + twave + pwave) * lead_gain
-    wander = (0.15 * np.sin(2 * np.pi * 0.3 * t[None, None, :]
-                            + rng.uniform(0, 6, (n, 1, 1)))
-              + 0.08 * np.sin(2 * np.pi * 0.07 * t[None, None, :]
-                              + rng.uniform(0, 6, (n, 1, 1))))
-    noise = 0.03 * rng.standard_normal((n, n_lead, length))
-    return (beat + wander + noise).astype(np.float32)
+    real corpus for pipeline/throughput work.
+
+    Generated in float32 CHUNKS: the naive single-shot f64 version allocates
+    five (n, 12, L) float64 temporaries -- at the PTB-XL dress-rehearsal scale
+    (21,837 x 12 x 2500) that is ~26 GB of traffic and tens of minutes on one
+    host core; chunked f32 generates the same corpus in ~2 min."""
+    out = np.empty((n, n_lead, length), np.float32)
+    t = (np.arange(length, dtype=np.float32) / np.float32(fqs))  # (L,)
+    f32 = np.float32
+    for lo in range(0, n, 2048):
+        hi = min(lo + 2048, n)
+        m = hi - lo
+        hr = rng.uniform(0.8, 1.8, (m, 1, 1)).astype(f32)        # beats/sec
+        phase0 = rng.uniform(0, 1, (m, 1, 1)).astype(f32)
+        lead_gain = (rng.uniform(0.4, 1.6, (m, n_lead, 1))
+                     * np.sign(rng.uniform(-0.3, 1.0, (m, n_lead, 1)))).astype(f32)
+        phase = (t[None, None, :] * hr + phase0) % f32(1.0)
+        qrs = np.exp(-((phase - f32(0.5)) ** 2) / f32(2 * 0.0006))
+        qrs += f32(0.25) * np.exp(-((phase - f32(0.72)) ** 2) / f32(2 * 0.004))
+        qrs += f32(0.12) * np.exp(-((phase - f32(0.35)) ** 2) / f32(2 * 0.002))
+        beat = qrs * lead_gain
+        beat += (f32(0.15) * np.sin(f32(2 * np.pi * 0.3) * t[None, None, :]
+                                    + rng.uniform(0, 6, (m, 1, 1)).astype(f32))
+                 + f32(0.08) * np.sin(f32(2 * np.pi * 0.07) * t[None, None, :]
+                                      + rng.uniform(0, 6, (m, 1, 1)).astype(f32)))
+        beat += f32(0.03) * rng.standard_normal((m, n_lead, length),
+                                                dtype=np.float32)
+        out[lo:hi] = beat
+    return out
 
 
 def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500,

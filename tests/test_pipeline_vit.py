@@ -119,3 +119,37 @@ def test_pipeline_trainer_dp_pp(tmp_path):
     assert np.isfinite(res['loss'])
     loss1 = float(model.apply(tr.merged_params(), x, labels=y).loss)
     assert loss1 < loss0  # pipelined updates actually train the model
+
+
+def test_cli_train_mesh_stage(tmp_path):
+    # `cli train --mesh-stage 4`: pipeline-parallel training mode end-to-end
+    # through the CLI, eval via the merged plain model
+    import contextlib
+    import io
+    import json
+
+    from ecg_representation_learning_tpu.cli import main
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(['--platform', 'cpu', 'train', '--size', 'debug',
+              '--synth-n', '96', '--epochs', '1', '--batch-size', '16',
+              '--mesh-stage', '4', '--output-dir', str(tmp_path / 'pp')])
+    info = json.loads(out.getvalue())
+    assert np.isfinite(info['train_loss'])
+    assert info['mesh'] == '2 data x 4 stage'
+    assert info['test_macro_auc'] is None or 0.0 <= info['test_macro_auc'] <= 1.0
+
+
+def test_cli_synth_hard(tmp_path):
+    import contextlib
+    import io
+    import json
+    import os
+
+    from ecg_representation_learning_tpu.cli import main
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(['synth', '--n', '48', '--marker-classes', '4', '--hard',
+              '--out', str(tmp_path)])
+    info = json.loads(out.getvalue())
+    assert os.path.exists(info['hdf5']) and os.path.exists(info['labels_csv'])
