@@ -187,8 +187,11 @@ def synth_ecg(rng: np.random.Generator, n: int, n_lead: int = N_LEADS,
 
     Generated in float32 CHUNKS: the naive single-shot f64 version allocates
     five (n, 12, L) float64 temporaries -- at the PTB-XL dress-rehearsal scale
-    (21,837 x 12 x 2500) that is ~26 GB of traffic and tens of minutes on one
-    host core; chunked f32 generates the same corpus in ~2 min."""
+    (21,837 x 12 x 2500) that is ~26 GB of allocator traffic on one host core;
+    chunked f32 halves the arithmetic and bounds peak memory.  Still ~27 min
+    at dress scale on this 1-core host (dominated by numpy's scalar-loop
+    exp/sin over ~7e9 transcendental evals -- embarrassingly parallel on a
+    real multi-core host)."""
     out = np.empty((n, n_lead, length), np.float32)
     t = (np.arange(length, dtype=np.float32) / np.float32(fqs))  # (L,)
     f32 = np.float32
@@ -276,8 +279,10 @@ def synth_ptbxl(n: int = 512, seed: int = 77, length: int = 2500,
                 signals[rows] += (tone * window)[:, None, :] \
                     * leads[:, :, None].astype(np.float32)
             sigma = rng.uniform(0.05, 0.22, (n, 1, 1)).astype(np.float32)
-            signals += sigma * rng.standard_normal(
-                (n, N_LEADS, length)).astype(np.float32)
+            for lo in range(0, n, 2048):  # chunked f32: the f64 single-shot
+                hi = min(lo + 2048, n)    # draw is 5.2 GB at dress-corpus scale
+                signals[lo:hi] += sigma[lo:hi] * rng.standard_normal(
+                    (hi - lo, N_LEADS, length), dtype=np.float32)
         else:
             present = rng.uniform(size=(n, k)) < 0.4
             for j in range(k):
