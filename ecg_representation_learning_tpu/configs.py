@@ -53,6 +53,15 @@ class VitConfig:
                                     # that axis -- train/long_record.py);
                                     # attention-prob dropout is not applied on
                                     # the ring path
+    dropout_impl: str = 'flax'      # 'flax': nn.Dropout masks from the
+                                    # session PRNG -- with the production
+                                    # 'rbg' impl these are measured FREE
+                                    # (PERF.md round 3) | 'hash': stateless
+                                    # counter-hash masks (ops/dropout.py):
+                                    # ~2% slower but bit-identical across
+                                    # backends/PRNG impls, and 7 ms/step
+                                    # faster than flax if threefry
+                                    # reproducibility is required
     remat: bool = False             # jax.checkpoint each block (memory for FLOPs
                                     # -- long-record pretraining / large models)
     scan_blocks: bool = False       # lax.scan over the transformer stack:
@@ -149,6 +158,13 @@ class TrainConfig:
                                         # ('bfloat16' halves its HBM traffic;
                                         # None = param dtype; second moment
                                         # stays f32 for stability)
+    fused_optimizer: bool = True        # single-pass Adam/AdamW (+clip
+                                        # +nonfinite-zeroing folded into one
+                                        # scalar): ~2.4 GB HBM/step vs the
+                                        # optax chain's ~5.8 GB (train/optim.py
+                                        # FusedAdamW; measured -4 ms/step on
+                                        # ViT-base bs-64).  False = the optax
+                                        # chain (reference implementation)
     log_per_epoch: bool = False
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end

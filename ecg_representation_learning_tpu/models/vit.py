@@ -26,10 +26,21 @@ import numpy as np
 
 from ..configs import VitConfig
 from ..ops.attention import attention
+from ..ops.dropout import HashDropout
 
 
 def _dtype(cfg: VitConfig):
     return jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
+
+
+def _dropout(cfg: VitConfig, rate: float, salt: int):
+    """Per-site dropout module.  ``dropout_impl='hash'`` (default) uses the
+    fuseable counter-hash mask (ops/dropout.py -- no RngBitGenerator HBM
+    round-trip); ``'flax'`` keeps ``nn.Dropout``'s jax.random Bernoulli.
+    ``salt`` decorrelates sites beyond flax's per-path rng folding."""
+    if cfg.dropout_impl == 'hash':
+        return HashDropout(rate, salt=salt)
+    return nn.Dropout(rate)
 
 
 class PatchEmbed1D(nn.Module):
@@ -75,8 +86,8 @@ class SelfAttention(nn.Module):
             out = ring_attention_local(q, k, v, cfg.ring_axis)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
             out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
-            out = nn.Dropout(cfg.hidden_dropout_prob)(out,
-                                                      deterministic=deterministic)
+            out = _dropout(cfg, cfg.hidden_dropout_prob, salt=1)(
+                out, deterministic=deterministic)
             return out, None
         if return_probs:
             scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -96,7 +107,8 @@ class SelfAttention(nn.Module):
                 interpret=cfg.flash_interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=dt, name='out')(out)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = _dropout(cfg, cfg.hidden_dropout_prob, salt=2)(
+            out, deterministic=deterministic)
         return out, probs
 
 
@@ -110,9 +122,9 @@ class Mlp(nn.Module):
         h = nn.Dense(cfg.intermediate_size, dtype=dt, name='fc1')(x)
         # exact (erf) GELU, matching torch nn.GELU in the reference's vit-pytorch
         h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        h = _dropout(cfg, cfg.hidden_dropout_prob, salt=3)(h, deterministic=deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name='fc2')(h)
-        return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return _dropout(cfg, cfg.hidden_dropout_prob, salt=4)(h, deterministic=deterministic)
 
 
 class Block(nn.Module):
@@ -153,7 +165,8 @@ class EcgVitEncoder(nn.Module):
                           + (1 if self.with_cls_token else 0), cfg.hidden_size))
         h = h + pos[:, :n_tok].astype(h.dtype)
         # reference: emb_dropout = attention_probs_dropout_prob (ecg_vit.py:114)
-        h = nn.Dropout(cfg.attention_probs_dropout_prob)(h, deterministic=deterministic)
+        h = _dropout(cfg, cfg.attention_probs_dropout_prob, salt=5)(
+            h, deterministic=deterministic)
 
         attn_maps = []
         block_cls = Block

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..configs import TrainConfig, VitConfig
 from ..models.mae import patchify
 from ..models.vit import Block, PatchEmbed1D, _dtype
-from .optim import make_optimizer
+from .optim import apply_optimizer, make_optimizer
 
 
 class EcgMim(nn.Module):
@@ -160,9 +160,8 @@ class RingPretrainer:
             m = _exact_count_mask(mask_rng, x.shape[0], p_total, n_mask)
             loss, grads = jax.value_and_grad(
                 lambda p: sharded_loss(p, x, m))(state.params)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(self.optimizer, grads,
+                                                state.opt_state, state.params)
             return TrainState(step=state.step + 1, params=params,
                               opt_state=opt_state, rng=rng), loss
 

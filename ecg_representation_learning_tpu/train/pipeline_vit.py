@@ -41,7 +41,7 @@ from ..parallel.pipeline_parallel import (STAGE_AXIS, pipeline_apply,
                                           place_stage_params,
                                           stack_stage_params)
 from ..utils.logging import get_logger
-from .optim import make_optimizer
+from .optim import apply_optimizer, make_optimizer
 from .trainer import SplitData, TrainState, _prep_batch
 
 DATA_AXIS = 'data'
@@ -216,9 +216,8 @@ class PipelineVitTrainer:
                                        weight=cfg.loss_weight)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(self.optimizer, grads,
+                                                state.opt_state, state.params)
             return TrainState(step=state.step + 1, params=params,
                               opt_state=opt_state, rng=rng), loss
 

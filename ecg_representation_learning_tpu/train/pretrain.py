@@ -25,7 +25,7 @@ from ..models.mae import EcgMae
 from ..parallel.mesh import (DATA_AXIS, batch_sharding, make_mesh,
                              opt_state_shardings, param_shardings, replicated)
 from ..utils.logging import TbWriter, get_logger
-from .optim import make_optimizer
+from .optim import FusedAdamW, apply_optimizer, make_optimizer
 from .trainer import SplitData, TrainState, _prep_batch
 
 
@@ -128,13 +128,13 @@ class MaeTrainer:
             # gradients so params never get poisoned, count the event on
             # device; the host raises at its next sync point
             finite = jnp.isfinite(grad_norm)
-            if cfg.debug_nans:
+            if cfg.debug_nans and not isinstance(self.optimizer, FusedAdamW):
+                # FusedAdamW folds the zeroing into its fused update pass
                 grads = jax.tree.map(
                     lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(self.optimizer, grads,
+                                                state.opt_state, state.params)
             new_state = TrainState(step=state.step + 1, params=params,
                                    opt_state=opt_state, rng=rng)
             return new_state, {'loss': loss, 'grad_norm': grad_norm,
@@ -255,9 +255,8 @@ class MaeTrainer:
                 return out.loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(self.optimizer, grads,
+                                                state.opt_state, state.params)
             return TrainState(step=state.step + 1, params=params,
                               opt_state=opt_state, rng=rng), loss
 

@@ -43,7 +43,7 @@ from ..parallel.mesh import (DATA_AXIS, make_mesh, opt_state_shardings,
 from ..utils.logging import TbWriter, get_logger, pretty_log_dict
 from .metrics import (binary_stats, classification_report, multilabel_auroc,
                       per_class_recall)
-from .optim import make_optimizer
+from .optim import FusedAdamW, apply_optimizer, make_optimizer
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -211,15 +211,17 @@ class Trainer:
             grad_norm = optax.global_norm(grads)
             # numeric sanitizer, decoupled from the log cadence: zero a
             # non-finite step's gradients so params never get poisoned, count
-            # the event on device; the host raises at its next sync point
+            # the event on device; the host raises at its next sync point.
+            # The FusedAdamW path folds the zeroing (and the clip) into its
+            # single update pass, so the tree-wide select below only runs on
+            # the optax-chain path.
             finite = jnp.isfinite(grad_norm)
-            if cfg.debug_nans:
+            if cfg.debug_nans and not isinstance(self.optimizer, FusedAdamW):
                 grads = jax.tree.map(
                     lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(self.optimizer, grads,
+                                                state.opt_state, state.params)
             new_state = TrainState(step=state.step + 1, params=params,
                                    opt_state=opt_state, rng=rng)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))

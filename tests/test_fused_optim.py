@@ -1,0 +1,144 @@
+"""FusedAdamW (train/optim.py) numerical parity with the optax chain it
+replaces: chain(clip_by_global_norm, adamw/adam) + apply_updates, plus the
+trainer's zero-nonfinite-gradients sanitizer semantics.
+
+Reference training semantics: AdamW + global-norm clip 1.0
+(models/train.py:242-252, 281).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ecg_representation_learning_tpu.train.optim import (FusedAdamW,
+                                                         apply_optimizer)
+
+
+def tree_allclose(a, b, rtol=2e-5, atol=1e-7):
+    flat_a, flat_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x, np.float64),
+                                   np.asarray(y, np.float64),
+                                   rtol=rtol, atol=atol)
+
+
+def make_tree(rng, scale=1.0):
+    return {
+        'dense': {'kernel': jnp.asarray(rng.standard_normal((16, 8)) * scale,
+                                        jnp.float32),
+                  'bias': jnp.asarray(rng.standard_normal(8) * scale,
+                                      jnp.float32)},
+        'norm': {'scale': jnp.asarray(rng.standard_normal(16) * scale,
+                                      jnp.float32)},
+    }
+
+
+SCHED = optax.warmup_cosine_decay_schedule(0.0, 3e-4, 5, 50, 0.0)
+
+
+@pytest.mark.parametrize('wd,big_grads', [(1e-2, False), (0.0, True),
+                                          (1e-2, True)])
+def test_multi_step_parity_vs_optax_chain(wd, big_grads):
+    """Several steps, with and without clipping actually triggering."""
+    rng = np.random.default_rng(0)
+    params = make_tree(rng)
+    gscale = 10.0 if big_grads else 0.05  # big -> ||g|| > 1 engages the clip
+
+    fused = FusedAdamW(SCHED, weight_decay=wd, clip_norm=1.0)
+    if wd:
+        ref_inner = optax.adamw(SCHED, weight_decay=wd)
+    else:
+        ref_inner = optax.adam(SCHED)
+    ref = optax.chain(optax.clip_by_global_norm(1.0), ref_inner)
+
+    fp, fs = dict(params), fused.init(params)
+    rp, rs = dict(params), ref.init(params)
+    for step in range(5):
+        grads = make_tree(rng, scale=gscale)
+        fp, fs = fused.apply(grads, fs, fp)
+        u, rs = ref.update(grads, rs, rp)
+        rp = optax.apply_updates(rp, u)
+        tree_allclose(fp, rp)
+    # moments match the optax scale_by_adam state too
+    adam_state = rs[1][0] if wd else rs[1][0]
+    tree_allclose(fs.mu, adam_state.mu)
+    tree_allclose(fs.nu, adam_state.nu)
+    assert int(fs.count) == 5
+
+
+def test_nonfinite_zeroing_matches_sanitizer_plus_chain():
+    """scale=0 on a NaN step == the trainer's zero-grads-then-optax-update."""
+    rng = np.random.default_rng(1)
+    params = make_tree(rng)
+    fused = FusedAdamW(3e-4, weight_decay=1e-2, clip_norm=1.0,
+                       zero_nonfinite=True)
+    ref = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(3e-4, weight_decay=1e-2))
+
+    fp, fs = dict(params), fused.init(params)
+    rp, rs = dict(params), ref.init(params)
+    for step in range(3):
+        grads = make_tree(rng)
+        if step == 1:  # poison one step
+            grads['dense']['kernel'] = grads['dense']['kernel'].at[0, 0].set(
+                jnp.nan)
+            zeroed = jax.tree.map(jnp.zeros_like, grads)
+        else:
+            zeroed = grads
+        fp, fs = fused.apply(grads, fs, fp)
+        u, rs = ref.update(zeroed, rs, rp)
+        rp = optax.apply_updates(rp, u)
+        tree_allclose(fp, rp)
+    assert np.all(np.isfinite(np.asarray(fp['dense']['kernel'])))
+
+
+def test_mu_dtype_storage():
+    rng = np.random.default_rng(2)
+    params = make_tree(rng)
+    fused = FusedAdamW(3e-4, clip_norm=1.0, mu_dtype=jnp.bfloat16)
+    state = fused.init(params)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state.mu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.nu))
+    p2, s2 = fused.apply(make_tree(rng), state, params)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(s2.mu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(p2))
+
+
+def test_apply_optimizer_dispatch():
+    rng = np.random.default_rng(3)
+    params = make_tree(rng)
+    grads = make_tree(rng)
+    fused = FusedAdamW(3e-4, weight_decay=1e-2, clip_norm=1.0)
+    p1, _ = apply_optimizer(fused, grads, fused.init(params), params)
+    ref = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(3e-4, weight_decay=1e-2))
+    p2, _ = apply_optimizer(ref, grads, ref.init(params), params)
+    tree_allclose(p1, p2)
+
+
+def test_trainer_fused_vs_chain_loss_parity():
+    """Same data, same seeds: the fused and optax-chain trainers produce
+    matching losses over an epoch (the end-to-end guarantee)."""
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.train.trainer import (SplitData,
+                                                               Trainer)
+
+    rng = np.random.default_rng(4)
+    n = 32
+    data = SplitData(
+        signals=rng.standard_normal((n, 12, 250)).astype(np.float32),
+        labels=(rng.uniform(size=(n, 8)) > 0.7).astype(np.float32))
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                       num_class=8)
+    losses = {}
+    for fused in (True, False):
+        cfg = TrainConfig(num_train_epoch=2, train_batch_size=8,
+                          eval_batch_size=8, do_eval=True,
+                          fused_optimizer=fused, log_to_console=False)
+        tr = Trainer(model_cfg, cfg, train_data=data, eval_data=data,
+                     output_dir=f'/tmp/test-fused-{fused}')
+        res = tr.train()
+        losses[fused] = res['history'][-1]['loss']
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
