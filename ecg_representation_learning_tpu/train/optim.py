@@ -57,13 +57,18 @@ class FusedAdamW:
                  b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                  weight_decay: float = 0.0,
                  clip_norm: Optional[float] = None,
-                 zero_nonfinite: bool = False, mu_dtype=None):
+                 zero_nonfinite: bool = False, mu_dtype=None,
+                 use_pallas: Optional[bool] = None):
         self.learning_rate = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
         self.clip_norm = clip_norm
         self.zero_nonfinite = zero_nonfinite
         self.mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+        # Pallas streaming-update kernel (ops/adamw_pallas.py); measured at
+        # parity with this XLA lowering (both at the HBM floor), so off by
+        # default -- see the kernel module docstring
+        self.use_pallas = use_pallas
 
     def init(self, params) -> FusedAdamWState:
         mu = jax.tree.map(
@@ -104,11 +109,32 @@ class FusedAdamW:
             p2 = p - lr * upd
             return (mu2.astype(mu.dtype), nu2, p2.astype(p.dtype))
 
+        # Default False: the Pallas streaming kernel measures the same 4.1 ms
+        # as this XLA lowering on ViT-base (both at the practical HBM floor;
+        # cost_analysis 1.3 GB aliased vs 4.42 GB counted) and composes
+        # slightly worse inside the full step (19.09 vs 18.48 ms) -- kept as
+        # the floor-proof and for layouts XLA fuses badly (PERF.md round 3).
+        use_pallas = bool(self.use_pallas)
+        if use_pallas:
+            from ..ops.adamw_pallas import adamw_update_leaf, leaf_eligible
+            finite_flag = (finite.astype(jnp.float32) if finite is not None
+                           else jnp.asarray(1.0, jnp.float32))
+            scalars = jnp.stack([scale, lr, bc1, bc2, finite_flag]
+                                ).reshape(1, 5).astype(jnp.float32)
+
+            def leaf_dispatch(g, mu, nu, p):
+                if leaf_eligible(g, mu, nu, p):
+                    return adamw_update_leaf(g, mu, nu, p, scalars,
+                                             b1=b1, b2=b2, eps=eps, wd=wd)
+                return leaf(g, mu, nu, p)
+        else:
+            leaf_dispatch = leaf
+
         flat_g, treedef = jax.tree.flatten(grads)
         flat_mu = treedef.flatten_up_to(state.mu)
         flat_nu = treedef.flatten_up_to(state.nu)
         flat_p = treedef.flatten_up_to(params)
-        out = [leaf(g, m, n, p)
+        out = [leaf_dispatch(g, m, n, p)
                for g, m, n, p in zip(flat_g, flat_mu, flat_nu, flat_p)]
         mu = treedef.unflatten([o[0] for o in out])
         nu = treedef.unflatten([o[1] for o in out])

@@ -118,6 +118,42 @@ def test_apply_optimizer_dispatch():
     tree_allclose(p1, p2)
 
 
+def test_pallas_update_kernel_matches_jnp_leaf():
+    """ops/adamw_pallas.py (interpret mode) == the FusedAdamW jnp leaf,
+    including the clip scale, finite flag, and a non-lane-multiple fallback."""
+    from ecg_representation_learning_tpu.ops.adamw_pallas import (
+        adamw_update_leaf, leaf_eligible)
+
+    rng = np.random.default_rng(5)
+    b1, b2, eps, wd = 0.9, 0.999, 1e-8, 1e-2
+    for shape in [(768,), (256, 128), (41, 768)]:
+        g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32)
+        nu = jnp.asarray(rng.uniform(0.001, 0.1, shape), jnp.float32)
+        p = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        assert leaf_eligible(g, mu, nu, p)
+        for scale, lr, bc1, bc2, finite in [(0.73, 3e-4, 0.1, 0.001, 1.0),
+                                            (1.0, 1e-3, 0.5, 0.2, 0.0)]:
+            scalars = jnp.asarray([[scale, lr, bc1, bc2, finite]], jnp.float32)
+            mu2, nu2, p2 = adamw_update_leaf(g, mu, nu, p, scalars,
+                                             b1=b1, b2=b2, eps=eps, wd=wd,
+                                             interpret=True)
+            g32 = jnp.where(finite > 0, g * scale, 0.0)
+            mu_ref = b1 * mu + (1 - b1) * g32
+            nu_ref = b2 * nu + (1 - b2) * jnp.square(g32)
+            upd = (mu_ref / bc1) / (jnp.sqrt(nu_ref / bc2) + eps) + wd * p
+            p_ref = p - lr * upd
+            np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu_ref),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(nu2), np.asarray(nu_ref),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref),
+                                       rtol=1e-5, atol=1e-7)
+    # ineligible: 71-wide head bias falls back to the jnp path
+    bad = jnp.zeros((71,), jnp.float32)
+    assert not leaf_eligible(bad, bad, bad, bad)
+
+
 def test_trainer_fused_vs_chain_loss_parity():
     """Same data, same seeds: the fused and optax-chain trainers produce
     matching losses over an epoch (the end-to-end guarantee)."""
