@@ -13,6 +13,14 @@ Metrics (VERDICT round-2 directive #1 -- driver-verify the training claims):
   5. mae_stream_samples_per_sec -- MAE-base streaming pretrain step compute
      (75% mask, bs 64) with the fused 500->250 Hz prep inside the jitted step
      (BASELINE config 5 shape).
+  6. quality_macro_auroc + dress_seconds_per_epoch -- the REFERENCE-SCALE
+     dress rehearsal, driver-verified end to end: a 21,837 x 12 x 2500 hard
+     synthetic corpus (overlapping marker bands, confounders, long-tailed
+     prevalence -- data/datasets.py synth_ptbxl_device) is generated ON
+     DEVICE in seconds, ViT-base trains 8 epochs with the reference's
+     training defaults, and test macro-AUROC over the 16 marker classes is
+     the quality gate (discriminating band ~0.9; saturation-free).  Quality
+     is no longer self-reported (VERDICT round-2 missing #1 / weak #3).
 
 Timing note: on the tunneled 'axon' TPU platform ``block_until_ready`` does
 NOT synchronize (verified: it reports PFLOP-scale fiction).  The honest
@@ -176,6 +184,47 @@ def bench_mae_stream():
           samples_per_sec / sol)
 
 
+def bench_quality_dress():
+    """Reference-scale train->eval quality gate (runs last: ~3-4 min)."""
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.data import (get_ptbxl_splits,
+                                                      synth_ptbxl_device)
+    from ecg_representation_learning_tpu.train import Trainer
+    from ecg_representation_learning_tpu.train.metrics import roc_auc
+
+    k = 16
+    signals, labels, folds = synth_ptbxl_device(n=21837, length=2500,
+                                                n_marker_classes=k)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    del signals
+    import dataclasses
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+    cfg = TrainConfig(num_train_epoch=8, train_batch_size=64,
+                      eval_batch_size=128, do_eval=False, save_final=False,
+                      log_per_epoch=True, log_to_console=False)
+    tr = Trainer(model_cfg, cfg, train_data=splits.train,
+                 output_dir='/tmp/bench-dress')
+    # schedule/optimizer were built for 8 epochs above; run epoch 1 alone to
+    # absorb compile + warmup, then time epochs 2-8 as steady state
+    tr.cfg = dataclasses.replace(cfg, num_train_epoch=1)
+    tr.train()
+    tr.cfg = cfg
+    t0 = time.time()
+    tr.train()  # epochs 2-8
+    epoch_s = (time.time() - t0) / 7
+    ev = tr.evaluate(splits.test, return_predictions=True)
+    probs, labs = ev['predictions']['probs'], ev['predictions']['labels']
+    aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
+    valid = [a for a in aucs if a is not None]
+    macro = float(np.mean(valid))
+    # anchor: the round-3 full-scale dress rehearsal landed at 0.96 (PERF.md)
+    _emit('quality_macro_auroc', macro, 'auroc', macro / 0.96)
+    # steady-state wall per epoch (274 steps; includes host dispatch + the
+    # end-of-call checkpoint save amortized over 7 epochs)
+    _emit('dress_seconds_per_epoch', epoch_s, 's/epoch', epoch_s / 7.7)
+
+
 def main():
     from ecg_representation_learning_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -183,6 +232,7 @@ def main():
     bench_train()
     bench_denoise()
     bench_mae_stream()
+    bench_quality_dress()
 
 
 if __name__ == '__main__':

@@ -168,6 +168,11 @@ class TrainConfig:
     log_per_epoch: bool = False
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end
+    save_final: bool = True             # save ckpt-final when train() returns
+                                        # (False: benchmarking / throwaway
+                                        # runs -- on the tunneled dev chip a
+                                        # full ViT-base state save is a
+                                        # ~6 min D2H transfer)
     seed: int = 77                      # reference config.json 'random-seed'
     debug_nans: bool = True             # stop on non-finite grads (reference
                                         # error_if_nonfinite grad-clip, train.py:281).

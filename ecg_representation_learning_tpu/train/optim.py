@@ -142,6 +142,16 @@ class FusedAdamW:
         return new_params, FusedAdamWState(count=count, mu=mu, nu=nu)
 
 
+def adam_moments(opt_state):
+    """(mu, nu) for either optimizer-state layout: FusedAdamWState or the
+    optax chain ``(clip, (scale_by_adam, wd, lr))`` -- introspection used by
+    sharding checks and the multichip dryrun."""
+    if hasattr(opt_state, 'mu'):
+        return opt_state.mu, opt_state.nu
+    adam = opt_state[1][0]
+    return adam.mu, adam.nu
+
+
 def apply_optimizer(optimizer, grads, opt_state, params):
     """One optimizer step -> (new_params, new_opt_state).  Dispatches to the
     fused single-pass path for :class:`FusedAdamW`, else the standard optax

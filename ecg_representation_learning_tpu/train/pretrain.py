@@ -455,8 +455,11 @@ def linear_probe_mask(params):
 
 
 def make_probe_optimizer(cfg: TrainConfig, total_steps: int, params):
-    """AdamW on the head only; trunk params get zero updates."""
-    opt, sched = make_optimizer(cfg, total_steps)
+    """AdamW on the head only; trunk params get zero updates.  Built on the
+    optax chain (not FusedAdamW): optax.masked needs the transform interface,
+    and the probe trains ~0.06% of the params, so update cost is nil."""
+    opt, sched = make_optimizer(
+        dataclasses.replace(cfg, fused_optimizer=False), total_steps)
     mask = linear_probe_mask(params)
     frozen = optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, mask))
     return optax.chain(opt, frozen), sched

@@ -129,6 +129,12 @@ class Trainer:
         once a param tree exists; idempotent."""
         if self.cfg.linear_probe and not getattr(self, '_probe_applied', False):
             from .pretrain import linear_probe_mask
+            if isinstance(self.optimizer, FusedAdamW):
+                # optax.masked needs the transform interface; the probe
+                # trains ~0.06% of params so fused update cost is irrelevant
+                self.optimizer, self.schedule = make_optimizer(
+                    dataclasses.replace(self.cfg, fused_optimizer=False),
+                    self.total_steps)
             mask = linear_probe_mask(params)
             frozen = optax.masked(optax.set_to_zero(),
                                   jax.tree.map(lambda m: not m, mask))
@@ -381,7 +387,8 @@ class Trainer:
                         f'Training terminated early at epoch {self.epoch} '
                         f'(patience {cfg.patience}, best eval loss {best_eval_loss:.4f})')
                     break
-        self.save_checkpoint(tag='final')
+        if cfg.save_final:
+            self.save_checkpoint(tag='final')
         dt = time.time() - t_start
         self.logger.info(f'Training completed in {dt:.1f}s')
         if self.tb:

@@ -106,7 +106,9 @@ def test_pipeline_trainer_dp_pp(tmp_path):
     qkv = tr.state.params['stages']['attn']['qkv']['kernel']
     assert 'stage' in [s for s in qkv.sharding.spec if s]
     # ... and their Adam moments too
-    mu = tr.state.opt_state[1][0].mu
+    opt_state = tr.state.opt_state
+    mu = (opt_state.mu if hasattr(opt_state, 'mu')   # FusedAdamWState
+          else opt_state[1][0].mu)                   # optax chain
     mu_qkv = mu['stages']['attn']['qkv']['kernel']
     assert 'stage' in [s for s in mu_qkv.sharding.spec if s]
 

@@ -214,7 +214,8 @@ def test_mae_fsdp_dp_tp_mesh(tmp_path):
     # params: the Megatron 'model' rules hold AND something shards over 'data'
     qkv = tr.state.params['params']['encoder_block_0']['attn']['qkv']['kernel']
     assert 'model' in [s for s in qkv.sharding.spec if s]
-    mu = tr.state.opt_state[1][0].mu  # (clip, (adam, wd, lr)) chain
+    from ecg_representation_learning_tpu.train.optim import adam_moments
+    mu, _ = adam_moments(tr.state.opt_state)
     mu_leaves = [l for l in jax.tree.leaves(mu) if l.ndim >= 2]
     assert any('data' in [s for s in l.sharding.spec if s] for l in mu_leaves), \
         'FSDP: no Adam moment sharded over data'

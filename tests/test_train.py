@@ -318,7 +318,8 @@ def test_fsdp_shards_params_and_moments(tmp_path):
     assert spec and spec[0] == 'data', spec         # (64, 192) -> dim0 on data
     assert qkv.addressable_shards[0].data.shape[0] == qkv.shape[0] // 8
     # Adam's first moment mirrors the param sharding (the ZeRO memory win)
-    mu = tr.state.opt_state[1][0].mu  # (clip, (adam, wd, lr))
+    from ecg_representation_learning_tpu.train.optim import adam_moments
+    mu, _ = adam_moments(tr.state.opt_state)
     mu_qkv = mu['params']['encoder']['block_0']['attn']['qkv']['kernel']
     assert tuple(mu_qkv.sharding.spec)[0] == 'data'
     assert mu_qkv.addressable_shards[0].data.shape[0] == mu_qkv.shape[0] // 8
