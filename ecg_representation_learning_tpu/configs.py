@@ -173,6 +173,14 @@ class TrainConfig:
                                         # runs -- on the tunneled dev chip a
                                         # full ViT-base state save is a
                                         # ~6 min D2H transfer)
+    async_checkpoint: bool = False      # orbax AsyncCheckpointer: save()
+                                        # returns after the host snapshot;
+                                        # serialization/disk write happen in
+                                        # a background thread (periodic saves
+                                        # stop stalling long runs).  train()
+                                        # waits for the last save before
+                                        # returning; restore waits for any
+                                        # in-flight save on the same path
     seed: int = 77                      # reference config.json 'random-seed'
     debug_nans: bool = True             # stop on non-finite grads (reference
                                         # error_if_nonfinite grad-clip, train.py:281).

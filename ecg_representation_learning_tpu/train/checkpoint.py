@@ -15,12 +15,44 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None) -> str:
+# one process-wide async checkpointer: orbax serializes/writes in a
+# background thread; the device->host transfer still happens inside save()
+# (so the training loop's buffer donation never races the snapshot)
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    import orbax.checkpoint as ocp
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async checkpoint save has committed.
+    Call before reading a just-saved checkpoint or at process exit."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
+                    async_save: bool = False) -> str:
+    """Write the full train state.  ``async_save=True`` returns as soon as
+    the state is snapshotted to host memory and lets orbax serialize/write
+    in the background (``TrainConfig.async_checkpoint``); only one save is
+    in flight at a time -- a new save first waits for the previous one."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, _to_pytree(state)), force=True)
-    ckptr.wait_until_finished()
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(_to_pytree(state)),
+                   force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.tree.map(np.asarray, _to_pytree(state)), force=True)
+        ckptr.wait_until_finished()
     with open(path + '.meta.json', 'w') as f:
         json.dump(extra or {}, f)
     return path
@@ -41,6 +73,7 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     import logging
 
     import orbax.checkpoint as ocp
+    wait_for_checkpoints()   # the path may still be an in-flight async save
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, _to_pytree(like_state))

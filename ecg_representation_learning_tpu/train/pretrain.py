@@ -179,8 +179,10 @@ class MaeTrainer:
     def save_checkpoint(self, tag: str = 'final') -> str:
         from .checkpoint import save_checkpoint
         path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
-        save_checkpoint(path, self.state, extra={'epoch': self.epoch})
-        self.logger.info(f'Checkpoint saved to {path}')
+        save_checkpoint(path, self.state, extra={'epoch': self.epoch},
+                        async_save=self.cfg.async_checkpoint)
+        self.logger.info(f'Checkpoint saved to {path}'
+                         + (' (async)' if self.cfg.async_checkpoint else ''))
         return path
 
     def load_checkpoint(self, path: str):
@@ -328,6 +330,9 @@ class MaeTrainer:
         self._host_step = host_step
         if ckpt_every:
             self.save_checkpoint(tag='stream-latest')
+        if self.cfg.async_checkpoint:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
         return {'loss': last_loss, 'steps': host_step,
                 'timer': timer.summary()}
 
@@ -412,6 +417,9 @@ class MaeTrainer:
         if last_loss is None and self.state is not None:
             last_loss = float('nan')
         path = self.save_checkpoint(tag='final')
+        if self.cfg.async_checkpoint:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()   # all saves durable before returning
         return {'loss': last_loss, 'epochs': self.epoch,
                 'eval_history': eval_history,
                 'best_eval_loss': best_eval_loss if eval_history else None,

@@ -389,6 +389,9 @@ class Trainer:
                     break
         if cfg.save_final:
             self.save_checkpoint(tag='final')
+        if cfg.async_checkpoint:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()   # all saves durable before train() returns
         dt = time.time() - t_start
         self.logger.info(f'Training completed in {dt:.1f}s')
         if self.tb:
@@ -462,8 +465,10 @@ class Trainer:
     def save_checkpoint(self, tag: str = 'final'):
         from .checkpoint import save_checkpoint
         path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
-        save_checkpoint(path, self.state, extra={'epoch': self.epoch})
-        self.logger.info(f'Checkpoint saved to {path}')
+        save_checkpoint(path, self.state, extra={'epoch': self.epoch},
+                        async_save=self.cfg.async_checkpoint)
+        self.logger.info(f'Checkpoint saved to {path}'
+                         + (' (async)' if self.cfg.async_checkpoint else ''))
         return path
 
     def load_checkpoint(self, path: str):

@@ -1,0 +1,58 @@
+"""Async checkpointing (train/checkpoint.py AsyncCheckpointer path):
+background-written saves restore bit-exactly, restore waits for in-flight
+saves, and a Trainer with async_checkpoint=True resumes exactly.
+"""
+import numpy as np
+
+from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+from ecg_representation_learning_tpu.train import Trainer
+from ecg_representation_learning_tpu.train.checkpoint import (
+    restore_checkpoint, save_checkpoint, wait_for_checkpoints)
+
+
+def small_trainer(tmp_path, tag, **cfg_kw):
+    signals, labels, folds = synth_ptbxl(n=96, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                 use_flash_attention=False)
+    tcfg = TrainConfig(num_train_epoch=2, train_batch_size=16,
+                       eval_batch_size=32, do_eval=False,
+                       log_to_console=False, **cfg_kw)
+    tr = Trainer(cfg, tcfg, train_data=splits.train, eval_data=splits.eval,
+                 output_dir=str(tmp_path / tag))
+    return tr, splits
+
+
+def tree_equal(a, b):
+    import jax
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_save_restores_bit_exact(tmp_path):
+    tr, _ = small_trainer(tmp_path, 'sync')
+    tr.init_state()
+    path = str(tmp_path / 'ckpt-async')
+    save_checkpoint(path, tr.state, extra={'epoch': 3}, async_save=True)
+    # restore_checkpoint must wait for the in-flight background write
+    restored, extra = restore_checkpoint(path, tr.state)
+    assert extra == {'epoch': 3}
+    tree_equal(restored.params, tr.state.params)
+    tree_equal(restored.opt_state, tr.state.opt_state)
+    wait_for_checkpoints()  # idempotent
+
+
+def test_trainer_async_checkpoint_resume_parity(tmp_path):
+    # run A: async periodic+final checkpoints
+    tr, splits = small_trainer(tmp_path, 'a', async_checkpoint=True,
+                               save_every_n_epoch=1)
+    res = tr.train()
+    assert np.isfinite(res['history'][-1]['loss'] if res['history']
+                       else tr.evaluate(splits.eval)['loss'])
+    # run B: restore ckpt-final into a fresh trainer -> same eval loss
+    tr2, _ = small_trainer(tmp_path, 'b')
+    tr2.load_checkpoint(str(tmp_path / 'a' / 'ckpt-final'))
+    ev_a = tr.evaluate(splits.eval)['loss']
+    ev_b = tr2.evaluate(splits.eval)['loss']
+    np.testing.assert_allclose(ev_a, ev_b, rtol=1e-6)
