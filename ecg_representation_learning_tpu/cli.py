@@ -271,6 +271,29 @@ def cmd_infer(args):
     print(json.dumps({'out': args.out, 'n_records': len(records)}))
 
 
+def cmd_serve(args):
+    """Run the batch-inference HTTP server (serving.py): model loaded once,
+    resident on the accelerator; JSON in/out."""
+    from .configs import TrainConfig
+    from .registry import PTBXL_TRAIN_STATS
+    from .serving import serve
+    from .train import Trainer
+    model_cfg = _model_cfg_for(args)
+    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size),
+                 norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
+    tr.init_state()
+    _maybe_port(args, tr)
+    if args.checkpoint:
+        tr.load_checkpoint(args.checkpoint)
+    httpd = serve(tr, host=args.host, port=args.port)
+    print(json.dumps({'serving': f'http://{args.host}:{args.port}',
+                      'endpoints': ['/health', '/predict']}), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
 def cmd_tokenize(args):
     import numpy as np
     from .models.tokenizer import EcgTokenizer
@@ -389,6 +412,17 @@ def main(argv=None):
     pi.add_argument('--top-k', type=int, default=5)
     pi.add_argument('--out', default='predictions.json')
     pi.set_defaults(fn=cmd_infer)
+
+    psv = sub.add_parser('serve', help='HTTP batch-inference server '
+                                       '(GET /health, POST /predict)')
+    _add_common_train_flags(psv)
+    psv.add_argument('--stats', default=None,
+                     choices=[None, 'original', 'denoised'])
+    psv.add_argument('--checkpoint', default=None)
+    psv.add_argument('--port-checkpoint', default=None, metavar='PT_FILE')
+    psv.add_argument('--host', default='127.0.0.1')
+    psv.add_argument('--port', type=int, default=8000)
+    psv.set_defaults(fn=cmd_serve)
 
     pt = sub.add_parser('tokenize')
     pt.add_argument('--hdf5', default=None)
