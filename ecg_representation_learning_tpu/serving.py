@@ -70,8 +70,15 @@ class InferenceService:
             raise ValueError(f'batch too large: {signals.shape[0]} > '
                              f'{self.max_batch}')
         k = int(payload.get('top_k', self.default_top_k))
+        window = cfg.max_signal_length - cfg.patch_size
         with self._lock:
-            probs = self.trainer.predict(signals)
+            if signals.shape[2] > window:
+                # long record (e.g. a full INCART strip): sliding windows +
+                # per-class aggregation ('max' default; payload 'agg')
+                probs = self.trainer.predict_long(
+                    signals, agg=str(payload.get('agg', 'max')))
+            else:
+                probs = self.trainer.predict(signals)
         order = np.argsort(-probs, axis=1)[:, :k]
         n_code = len(PTBXL_ID2CODE)
         top = [[{'code': PTBXL_ID2CODE[int(c)] if c < n_code else str(int(c)),

@@ -461,6 +461,38 @@ class Trainer:
             probs_all.append(np.asarray(probs)[:n_real])
         return np.concatenate(probs_all)
 
+    def predict_long(self, signals: np.ndarray, window: Optional[int] = None,
+                     hop: Optional[int] = None, agg: str = 'max'
+                     ) -> np.ndarray:
+        """Sliding-window inference on records LONGER than the model's input
+        (INCART 30-min strips, MIMIC telemetry -- corpora the reference only
+        stores, SURVEY.md §5 long-context): window the signal, predict each
+        window as a batch, aggregate per-class probabilities across windows.
+
+        ``window`` defaults to the model's input length (minus the always-pad
+        patch); ``hop`` to window/2 (50% overlap).  ``agg``: 'max' (a finding
+        anywhere in the record counts -- the multi-label clinical default) or
+        'mean'.  Returns (N, num_class).
+        """
+        assert agg in ('max', 'mean'), agg
+        signals = np.asarray(signals, np.float32)
+        if signals.ndim == 2:
+            signals = signals[None]
+        n, c, length = signals.shape
+        window = window or (self.model_cfg.max_signal_length
+                            - self.model_cfg.patch_size)
+        hop = hop or max(1, window // 2)
+        if length <= window:
+            return self.predict(signals)
+        starts = list(range(0, length - window + 1, hop))
+        if starts[-1] + window < length:       # cover the tail remainder
+            starts.append(length - window)
+        windows = np.stack([signals[:, :, s:s + window] for s in starts],
+                           axis=1)             # (N, W, C, window)
+        flat = windows.reshape(n * len(starts), c, window)
+        probs = self.predict(flat).reshape(n, len(starts), -1)
+        return probs.max(axis=1) if agg == 'max' else probs.mean(axis=1)
+
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, tag: str = 'final'):
         from .checkpoint import save_checkpoint

@@ -50,6 +50,22 @@ def test_service_single_record_and_validation(trainer):
         svc.predict({'signals': [1.0, 2.0]})
 
 
+def test_service_long_record_auto_windows(trainer):
+    """Records longer than the model input auto-route through
+    predict_long (sliding windows + max aggregation)."""
+    svc = InferenceService(trainer)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 12, 900)).astype(np.float32)
+    out = svc.predict({'signals': x.tolist()})
+    want = trainer.predict_long(x, agg='max')
+    np.testing.assert_allclose(np.asarray(out['probs']), np.round(want, 6),
+                               atol=1e-6)
+    out_mean = svc.predict({'signals': x.tolist(), 'agg': 'mean'})
+    want_mean = trainer.predict_long(x, agg='mean')
+    np.testing.assert_allclose(np.asarray(out_mean['probs']),
+                               np.round(want_mean, 6), atol=1e-6)
+
+
 def test_http_round_trip(trainer):
     httpd = serve(trainer, port=0, warmup=False)  # port 0: OS-assigned
     port = httpd.server_address[1]
