@@ -216,12 +216,15 @@ def bench_quality_dress():
     ev = tr.evaluate(splits.test, return_predictions=True)
     probs, labs = ev['predictions']['probs'], ev['predictions']['labels']
     aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
-    valid = [a for a in aucs if a is not None]
+    # roc_auc returns NaN for a class degenerate in this split (no pos or
+    # no neg) -- mask those, matching the reference's valid-class rule
+    # (util/train.py:27-40)
+    valid = [a for a in aucs if not np.isnan(a)]
     macro = float(np.mean(valid))
     # anchor: the round-3 full-scale dress rehearsal landed at 0.96 (PERF.md)
     _emit('quality_macro_auroc', macro, 'auroc', macro / 0.96)
-    # steady-state wall per epoch (274 steps; includes host dispatch + the
-    # end-of-call checkpoint save amortized over 7 epochs)
+    # steady-state wall per epoch (274 steps, host dispatch included; no
+    # checkpoint saves in the timed region -- save_final=False)
     _emit('dress_seconds_per_epoch', epoch_s, 's/epoch', epoch_s / 7.7)
 
 

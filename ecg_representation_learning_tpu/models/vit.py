@@ -34,12 +34,16 @@ def _dtype(cfg: VitConfig):
 
 
 def _dropout(cfg: VitConfig, rate: float, salt: int):
-    """Per-site dropout module.  ``dropout_impl='hash'`` (default) uses the
-    fuseable counter-hash mask (ops/dropout.py -- no RngBitGenerator HBM
-    round-trip); ``'flax'`` keeps ``nn.Dropout``'s jax.random Bernoulli.
+    """Per-site dropout module.  ``dropout_impl='flax'`` (default -- measured
+    FREE with the production rbg PRNG, PERF.md) uses ``nn.Dropout``;
+    ``'hash'`` uses the stateless counter-hash mask (ops/dropout.py:
+    bit-identical across backends/PRNG impls, the fast path under threefry).
     ``salt`` decorrelates sites beyond flax's per-path rng folding."""
     if cfg.dropout_impl == 'hash':
         return HashDropout(rate, salt=salt)
+    if cfg.dropout_impl != 'flax':
+        raise ValueError(
+            f"dropout_impl must be 'flax' or 'hash', got {cfg.dropout_impl!r}")
     return nn.Dropout(rate)
 
 

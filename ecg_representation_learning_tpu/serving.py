@@ -56,6 +56,9 @@ class InferenceService:
         self.predict({'signals': dummy.tolist(), 'top_k': 1})
 
     def predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if not isinstance(payload, dict):
+            raise ValueError(f'request body must be a JSON object, '
+                             f'got {type(payload).__name__}')
         signals = np.asarray(payload.get('signals'), np.float32)
         if signals.ndim == 2:      # single record (C, L)
             signals = signals[None]
@@ -70,13 +73,15 @@ class InferenceService:
             raise ValueError(f'batch too large: {signals.shape[0]} > '
                              f'{self.max_batch}')
         k = int(payload.get('top_k', self.default_top_k))
+        agg = str(payload.get('agg', 'max'))
+        if agg not in ('max', 'mean'):
+            raise ValueError(f"agg must be 'max' or 'mean', got {agg!r}")
         window = cfg.max_signal_length - cfg.patch_size
         with self._lock:
             if signals.shape[2] > window:
                 # long record (e.g. a full INCART strip): sliding windows +
                 # per-class aggregation ('max' default; payload 'agg')
-                probs = self.trainer.predict_long(
-                    signals, agg=str(payload.get('agg', 'max')))
+                probs = self.trainer.predict_long(signals, agg=agg)
             else:
                 probs = self.trainer.predict(signals)
         order = np.argsort(-probs, axis=1)[:, :k]
@@ -113,8 +118,9 @@ def _make_handler(service: InferenceService):
                 n = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(n) or b'{}')
                 self._send(200, service.predict(payload))
-            except (ValueError, KeyError, TypeError) as e:
-                self._send(400, {'error': str(e)})
+            except Exception as e:  # any bad request -> a 400, never a
+                # dropped connection; the server must outlive every payload
+                self._send(400, {'error': f'{type(e).__name__}: {e}'})
 
         def log_message(self, fmt, *args):  # route through our logger
             pass

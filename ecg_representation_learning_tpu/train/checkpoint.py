@@ -91,12 +91,26 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
                 f'size/config?') from None
         if _tree_shapes(raw.get('opt_state')) == _tree_shapes(template['opt_state']):
             raise  # params AND opt_state match -- the failure is something else
-        logging.getLogger(__name__).warning(
-            'optimizer state in %s does not match this trainer '
-            '(different optimizer chain, e.g. linear-probe vs full); '
-            'restored params/step/rng and reinitialized the optimizer', path)
-        restored = {'step': raw['step'], 'params': raw['params'],
-                    'rng': raw['rng'], 'opt_state': template['opt_state']}
+        migrated = _migrate_adam_state(raw.get('opt_state'),
+                                       template['opt_state'],
+                                       _tree_shapes(template['params']))
+        if migrated is not None:
+            # a pre-FusedAdamW checkpoint (optax chain layout): the Adam
+            # moments and count carry over -- exact resume survives the
+            # optimizer-implementation upgrade
+            logging.getLogger(__name__).warning(
+                'migrated optimizer state in %s from the optax-chain layout '
+                'to FusedAdamWState (moments and count preserved)', path)
+            restored = {'step': raw['step'], 'params': raw['params'],
+                        'rng': raw['rng'], 'opt_state': migrated}
+        else:
+            logging.getLogger(__name__).warning(
+                'optimizer state in %s does not match this trainer '
+                '(different optimizer chain, e.g. linear-probe vs full); '
+                'restored params/step/rng and reinitialized the optimizer',
+                path)
+            restored = {'step': raw['step'], 'params': raw['params'],
+                        'rng': raw['rng'], 'opt_state': template['opt_state']}
     # orbax can return the SAVED shapes without raising when the template
     # disagrees -- catch wrong-model checkpoints loudly (the fallback branch
     # above already verified its params, so this is a no-op there)
@@ -112,6 +126,42 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         with open(meta) as f:
             extra = json.load(f)
     return state, extra
+
+
+def _find_adam_subtree(raw_opt, param_shapes):
+    """Locate a {'count','mu','nu'} dict whose mu leaf shapes match the param
+    tree in a raw-restored optax state (tuples come back as lists,
+    namedtuples as field dicts), depth-first."""
+    if isinstance(raw_opt, dict):
+        if {'count', 'mu', 'nu'} <= set(raw_opt) \
+                and _tree_shapes(raw_opt['mu']) == param_shapes:
+            return raw_opt
+        children = raw_opt.values()
+    elif isinstance(raw_opt, (list, tuple)):
+        children = raw_opt
+    else:
+        return None
+    for v in children:
+        hit = _find_adam_subtree(v, param_shapes)
+        if hit is not None:
+            return hit
+    return None
+
+
+def _migrate_adam_state(raw_opt, template_opt, param_shapes):
+    """Checkpoint-layout migration: an optax-chain state
+    ``(clip, (scale_by_adam, wd, lr))`` saved before the FusedAdamW default
+    restores into a ``FusedAdamWState(count, mu, nu)`` template with its
+    moments and count intact.  Returns the migrated state or None."""
+    if getattr(type(template_opt), '_fields', None) != ('count', 'mu', 'nu'):
+        return None   # only chain -> FusedAdamWState is supported
+    adam = _find_adam_subtree(raw_opt, param_shapes)
+    if adam is None or _tree_shapes(adam['nu']) != param_shapes:
+        return None
+    if _tree_shapes(template_opt.mu) != _tree_shapes(adam['mu']):
+        return None   # a probe/masked subtree or mu_dtype change: bail out
+    return type(template_opt)(count=adam['count'], mu=adam['mu'],
+                              nu=adam['nu'])
 
 
 def _norm_key(k) -> str:

@@ -416,7 +416,7 @@ class MaeTrainer:
         tb.close()
         if last_loss is None and self.state is not None:
             last_loss = float('nan')
-        path = self.save_checkpoint(tag='final')
+        path = self.save_checkpoint(tag='final') if self.cfg.save_final else None
         if self.cfg.async_checkpoint:
             from .checkpoint import wait_for_checkpoints
             wait_for_checkpoints()   # all saves durable before returning

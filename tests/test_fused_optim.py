@@ -154,6 +154,47 @@ def test_pallas_update_kernel_matches_jnp_leaf():
     assert not leaf_eligible(bad, bad, bad, bad)
 
 
+def test_chain_checkpoint_migrates_into_fused_trainer(tmp_path):
+    """A checkpoint saved under the pre-FusedAdamW optax-chain layout resumes
+    into a fused trainer with its Adam moments and count INTACT (not the
+    params-only fallback) -- exact resume survives the optimizer upgrade."""
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.train.optim import adam_moments
+    from ecg_representation_learning_tpu.train.trainer import (SplitData,
+                                                               Trainer)
+
+    rng = np.random.default_rng(6)
+    data = SplitData(
+        signals=rng.standard_normal((32, 12, 250)).astype(np.float32),
+        labels=(rng.uniform(size=(32, 8)) > 0.7).astype(np.float32))
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                       num_class=8)
+    old = Trainer(model_cfg,
+                  TrainConfig(num_train_epoch=1, train_batch_size=8,
+                              do_eval=False, fused_optimizer=False,
+                              log_to_console=False),
+                  train_data=data, output_dir=str(tmp_path / 'old'))
+    old.train()
+    mu_old, nu_old = adam_moments(old.state.opt_state)
+
+    new = Trainer(model_cfg,
+                  TrainConfig(num_train_epoch=1, train_batch_size=8,
+                              do_eval=False, fused_optimizer=True,
+                              log_to_console=False),
+                  train_data=data, output_dir=str(tmp_path / 'new'))
+    new.init_state()
+    new.load_checkpoint(str(tmp_path / 'old' / 'ckpt-final'))
+    mu_new, nu_new = adam_moments(new.state.opt_state)
+    tree_allclose(mu_new, mu_old, rtol=1e-6)
+    tree_allclose(nu_new, nu_old, rtol=1e-6)
+    assert int(new.state.opt_state.count) == int(
+        old.state.opt_state[1][0].count)
+    assert int(new.state.step) == int(old.state.step)
+    # moments actually carry signal (not the zero-init fallback)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0
+               for l in jax.tree.leaves(mu_new))
+
+
 def test_trainer_fused_vs_chain_loss_parity():
     """Same data, same seeds: the fused and optax-chain trainers produce
     matching losses over an epoch (the end-to-end guarantee)."""

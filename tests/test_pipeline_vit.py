@@ -106,9 +106,8 @@ def test_pipeline_trainer_dp_pp(tmp_path):
     qkv = tr.state.params['stages']['attn']['qkv']['kernel']
     assert 'stage' in [s for s in qkv.sharding.spec if s]
     # ... and their Adam moments too
-    opt_state = tr.state.opt_state
-    mu = (opt_state.mu if hasattr(opt_state, 'mu')   # FusedAdamWState
-          else opt_state[1][0].mu)                   # optax chain
+    from ecg_representation_learning_tpu.train.optim import adam_moments
+    mu, _ = adam_moments(tr.state.opt_state)
     mu_qkv = mu['stages']['attn']['qkv']['kernel']
     assert 'stage' in [s for s in mu_qkv.sharding.spec if s]
 
