@@ -166,6 +166,7 @@ class PipelineVitTrainer:
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._host_step = 0
+        self.epoch = 0
         self.logger = get_logger('EcgVit PP Train')
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -246,9 +247,46 @@ class PipelineVitTrainer:
                     self.state, loss = self._train_step(self.state, sig, lab)
                 self._host_step += 1
             last_loss = float(loss)
+            self.epoch += 1
             self.logger.info({'pp/loss': last_loss, 'step': self._host_step})
+            if cfg.save_every_n_epoch and self.epoch % cfg.save_every_n_epoch == 0:
+                self.save_checkpoint(tag=f'ep{self.epoch}')
+        if cfg.save_final:
+            self.save_checkpoint(tag='final')
+        if cfg.async_checkpoint:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
         return {'loss': last_loss, 'steps': self._host_step,
                 'seconds': time.time() - t0}
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, tag: str = 'final') -> str:
+        """Full (step, params{outer,stages}, opt_state, rng) state -- the
+        stage-sharded layout round-trips as saved."""
+        from .checkpoint import save_checkpoint
+        os.makedirs(self.output_dir, exist_ok=True)
+        path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
+        save_checkpoint(path, self.state,
+                        extra={'epoch': self.epoch,
+                               'host_step': self._host_step},
+                        async_save=self.cfg.async_checkpoint)
+        self.logger.info(f'Checkpoint saved to {path}')
+        return path
+
+    def load_checkpoint(self, path: str):
+        """Exact restore; every leaf is re-placed onto the mesh with the
+        live state's sharding (stages P('stage'), the rest replicated)."""
+        from .checkpoint import restore_checkpoint
+        if self.state is None:
+            self.init_state()
+        state, extra = restore_checkpoint(path, self.state)
+        with self.mesh:
+            self.state = jax.tree.map(
+                lambda restored, live: jax.device_put(restored, live.sharding),
+                state, self.state)
+        self.epoch = int(extra.get('epoch', 0))
+        self._host_step = int(extra.get('host_step', 0))
+        return self.state
 
     def merged_params(self):
         """Params in the plain ``scan_blocks`` layout (single-device eval /

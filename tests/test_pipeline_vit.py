@@ -111,6 +111,25 @@ def test_pipeline_trainer_dp_pp(tmp_path):
     mu_qkv = mu['stages']['attn']['qkv']['kernel']
     assert 'stage' in [s for s in mu_qkv.sharding.spec if s]
 
+    # checkpoint round-trip: stage-sharded state saves and restores exactly,
+    # re-placed onto the mesh (stages stay P('stage'))
+    import numpy as _np
+    tr.save_checkpoint(tag='t')
+    tr2 = PipelineVitTrainer(CFG, cfg, train_data=splits.train,
+                             output_dir=str(tmp_path / 'pp'))
+    tr2.load_checkpoint(str(tmp_path / 'pp' / 'ckpt-t'))
+    q1 = _np.asarray(tr.state.params['stages']['attn']['qkv']['kernel'])
+    q2 = _np.asarray(tr2.state.params['stages']['attn']['qkv']['kernel'])
+    _np.testing.assert_array_equal(q1, q2)
+    assert 'stage' in [
+        s for s in tr2.state.params['stages']['attn']['qkv']['kernel']
+        .sharding.spec if s]
+    mu2, _ = adam_moments(tr2.state.opt_state)
+    mu1, _ = adam_moments(tr.state.opt_state)
+    _np.testing.assert_array_equal(
+        _np.asarray(mu1['stages']['attn']['qkv']['kernel']),
+        _np.asarray(mu2['stages']['attn']['qkv']['kernel']))
+
     # initial loss from the merged (plain) model, for a fall check
     model = EcgVit(CFG)
     x = jnp.asarray(splits.train.signals[:32, :, :320])
