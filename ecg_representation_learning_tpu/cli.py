@@ -255,7 +255,9 @@ def cmd_infer(args):
     _maybe_port(args, tr)
     if args.checkpoint:
         tr.load_checkpoint(args.checkpoint)
-    probs = tr.predict(sigs)
+    # predict_long: records longer than the model input are auto-windowed
+    # (sliding windows + per-class max); short records pass straight through
+    probs = tr.predict_long(sigs)
     k = args.top_k
     top = np.argsort(-probs, axis=1)[:, :k]
     records = [

@@ -174,7 +174,8 @@ class RingPretrainer:
 
         from .checkpoint import save_checkpoint
         path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
-        return save_checkpoint(path, self.state)
+        return save_checkpoint(path, self.state,
+                               async_save=self.train_cfg.async_checkpoint)
 
     def latest_checkpoint(self):
         import glob
@@ -224,5 +225,8 @@ class RingPretrainer:
                 self.save_checkpoint()
         if ckpt_every:
             self.save_checkpoint()
+        if self.train_cfg.async_checkpoint:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()   # durable before returning
         return {'losses': losses, 'loss': losses[-1] if losses else None,
                 'steps': host_step}
