@@ -123,6 +123,7 @@ def cmd_train(args):
         # stack staged over 'stage'; eval runs the merged plain model
         import jax
 
+        from .models.vit import stack_unrolled_params, unstack_scanned_params
         from .train.pipeline_vit import PipelineVitTrainer
         pp_model_cfg = dataclasses.replace(model_cfg, scan_blocks=True)
         n_data = len(jax.devices()) // cfg.mesh_stage
@@ -130,6 +131,29 @@ def cmd_train(args):
             pp_model_cfg, dataclasses.replace(cfg, mesh_data=n_data),
             train_data=splits.train, norm_stats=stats,
             output_dir=args.output_dir)
+        n_layers = pp_model_cfg.num_hidden_layers
+        if getattr(args, 'port_checkpoint', None):
+            # reference torch .pt -> unrolled layout -> stacked -> staged
+            from .models.port import port_vit_pytorch_state_dict
+            import torch
+            sd = torch.load(args.port_checkpoint, map_location='cpu')
+            if isinstance(sd, dict) and 'state_dict' in sd:
+                sd = sd['state_dict']
+            ported = port_vit_pytorch_state_dict(sd, pp_model_cfg)
+            pp.set_merged_params(stack_unrolled_params(ported, n_layers))
+        if getattr(args, 'init_encoder', None):
+            # MAE trunk -> the unrolled view of the pipeline params -> staged
+            from .train.pretrain import (load_pretrained_encoder,
+                                         transfer_encoder)
+            mae_params = load_pretrained_encoder(args.init_encoder, model_cfg)
+            if pp.state is None:
+                pp.init_state()
+            unrolled = unstack_scanned_params(pp.merged_params(), n_layers)
+            merged = stack_unrolled_params(
+                transfer_encoder(mae_params, unrolled), n_layers)
+            pp.set_merged_params(merged)
+        if args.resume_from:
+            pp.load_checkpoint(args.resume_from)
         result = pp.train()
         ev_tr = Trainer(pp_model_cfg, TrainConfig(eval_batch_size=args.batch_size),
                         norm_stats=stats, output_dir=args.output_dir)

@@ -291,6 +291,19 @@ def train_step_flops_per_sample(cfg: VitConfig) -> float:
     return 3.0 * forward_flops_per_sample(cfg)
 
 
+def stack_unrolled_params(params, num_layers: int):
+    """Inverse of :func:`unstack_scanned_params`: the unrolled ``block_i``
+    layout (torch porter output, pre-scan checkpoints) -> the stacked
+    ``scan_blocks=True`` tree (leading (L,) axis on ``blocks``)."""
+    had_wrapper = 'params' in params
+    p = dict(params['params'] if had_wrapper else params)
+    enc = dict(p['encoder'])
+    per_layer = [enc.pop(f'block_{i}') for i in range(num_layers)]
+    enc['blocks'] = jax.tree.map(lambda *ls: jnp.stack(ls), *per_layer)
+    p['encoder'] = enc
+    return {'params': p} if had_wrapper else p
+
+
 def unstack_scanned_params(params, num_layers: int):
     """Convert a ``scan_blocks=True`` param tree (stacked ``blocks`` with a
     leading (L,) axis) into the unrolled ``block_i`` layout, so scan-trained

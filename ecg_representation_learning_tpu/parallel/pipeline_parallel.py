@@ -76,6 +76,17 @@ def pipeline_apply(
         # params_s: (1, L/S, ...) -- this device's layers
         params_local = jax.tree.map(lambda a: a[0], params_s)
         sid = jax.lax.axis_index(axis)
+        dev_rng = None
+        if rng_arg:
+            # decorrelate the other mesh axes too: on a DP x PP mesh every
+            # data shard must draw independent dropout masks for its own
+            # samples (rng enters replicated, so without this fold devices
+            # (d=0,s) and (d=1,s) would mask different samples identically)
+            dev_rng = rng_arg[0]
+            for ax_name in mesh.axis_names:
+                if ax_name != axis:
+                    dev_rng = jax.random.fold_in(
+                        dev_rng, jax.lax.axis_index(ax_name))
         perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
         act0 = jnp.zeros_like(x_all[0])
         out0 = jnp.zeros_like(x_all)
@@ -90,7 +101,7 @@ def pipeline_apply(
         def apply_stage(act, t):
             if rng_arg:
                 # distinct dropout stream per (pipeline step, stage, layer)
-                base = jax.random.fold_in(rng_arg[0], t * n_stage + sid)
+                base = jax.random.fold_in(dev_rng, t * n_stage + sid)
 
                 def layer(carry, lp_i):
                     lp, i = lp_i

@@ -76,14 +76,12 @@ class InferenceService:
         agg = str(payload.get('agg', 'max'))
         if agg not in ('max', 'mean'):
             raise ValueError(f"agg must be 'max' or 'mean', got {agg!r}")
-        window = cfg.max_signal_length - cfg.patch_size
         with self._lock:
-            if signals.shape[2] > window:
-                # long record (e.g. a full INCART strip): sliding windows +
-                # per-class aggregation ('max' default; payload 'agg')
-                probs = self.trainer.predict_long(signals, agg=agg)
-            else:
-                probs = self.trainer.predict(signals)
+            # predict_long routes internally: direct lossless predict() for
+            # L < max_signal_length, sliding windows + per-class aggregation
+            # ('max' default; payload 'agg') for long records (e.g. a full
+            # INCART strip)
+            probs = self.trainer.predict_long(signals, agg=agg)
         order = np.argsort(-probs, axis=1)[:, :k]
         n_code = len(PTBXL_ID2CODE)
         top = [[{'code': PTBXL_ID2CODE[int(c)] if c < n_code else str(int(c)),
@@ -118,9 +116,14 @@ def _make_handler(service: InferenceService):
                 n = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(n) or b'{}')
                 self._send(200, service.predict(payload))
-            except Exception as e:  # any bad request -> a 400, never a
-                # dropped connection; the server must outlive every payload
+            except (ValueError, TypeError, KeyError,
+                    json.JSONDecodeError) as e:
+                # malformed payload -> 400 (non-retryable client error)
                 self._send(400, {'error': f'{type(e).__name__}: {e}'})
+            except Exception as e:  # server-side fault (device OOM, XLA
+                # runtime error, ...) -> 500 so clients/load-balancers may
+                # retry; never a dropped connection either way
+                self._send(500, {'error': f'{type(e).__name__}: {e}'})
 
         def log_message(self, fmt, *args):  # route through our logger
             pass

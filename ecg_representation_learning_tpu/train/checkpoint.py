@@ -19,6 +19,10 @@ import numpy as np
 # background thread; the device->host transfer still happens inside save()
 # (so the training loop's buffer donation never races the snapshot)
 _ASYNC_CKPTR = None
+# .meta.json sidecars for in-flight async saves: written to a .pending name
+# immediately, renamed to the final name only once the checkpoint itself has
+# committed -- so a sidecar never advertises a checkpoint that isn't there
+_PENDING_META: list = []
 
 
 def _async_ckptr():
@@ -29,11 +33,20 @@ def _async_ckptr():
     return _ASYNC_CKPTR
 
 
+def _flush_pending_meta() -> None:
+    while _PENDING_META:
+        tmp, final = _PENDING_META.pop(0)
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
+
+
 def wait_for_checkpoints() -> None:
-    """Block until any in-flight async checkpoint save has committed.
-    Call before reading a just-saved checkpoint or at process exit."""
+    """Block until any in-flight async checkpoint save has committed (then
+    publish its .meta.json sidecar).  Call before reading a just-saved
+    checkpoint or at process exit."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    _flush_pending_meta()
 
 
 def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
@@ -46,16 +59,42 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     path = os.path.abspath(path)
     if async_save:
         ckptr = _async_ckptr()
-        ckptr.wait_until_finished()
+        ckptr.wait_until_finished()   # previous save committed ...
+        _flush_pending_meta()         # ... so its sidecar can publish
         ckptr.save(path, args=ocp.args.StandardSave(_to_pytree(state)),
                    force=True)
+        # sidecar ordering: the save above is still uncommitted, so park the
+        # meta under a .pending name; wait_for_checkpoints()/the next save
+        # renames it after orbax finalizes the checkpoint dir
+        with open(path + '.meta.json.pending', 'w') as f:
+            json.dump(extra or {}, f)
+        _PENDING_META.append((path + '.meta.json.pending',
+                              path + '.meta.json'))
     else:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.tree.map(np.asarray, _to_pytree(state)), force=True)
         ckptr.wait_until_finished()
-    with open(path + '.meta.json', 'w') as f:
-        json.dump(extra or {}, f)
+        with open(path + '.meta.json', 'w') as f:
+            json.dump(extra or {}, f)
     return path
+
+
+def latest_committed_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest finalized ``ckpt-*`` dir under ``output_dir`` -- the crash-
+    recovery restart target.  Orbax writes into a ``*.orbax-checkpoint-tmp-*``
+    sibling and renames on commit, so tmp dirs (a kill mid-save) are skipped
+    instead of crashing the resume; ``ckpt-step{N}`` names order by step,
+    everything else by mtime."""
+    import glob
+    import re
+    out = []
+    for p in glob.glob(os.path.join(output_dir, 'ckpt-*')):
+        base = os.path.basename(p)
+        if not os.path.isdir(p) or '.orbax-checkpoint-tmp' in base:
+            continue
+        m = re.match(r'ckpt-step(\d+)$', base)
+        out.append((int(m.group(1)) if m else -1, os.path.getmtime(p), p))
+    return sorted(out)[-1][2] if out else None
 
 
 def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
@@ -159,7 +198,11 @@ def _migrate_adam_state(raw_opt, template_opt, param_shapes):
     if adam is None or _tree_shapes(adam['nu']) != param_shapes:
         return None
     if _tree_shapes(template_opt.mu) != _tree_shapes(adam['mu']):
-        return None   # a probe/masked subtree or mu_dtype change: bail out
+        return None   # a probe/masked subtree: bail out
+    if _tree_dtypes(template_opt.mu) != _tree_dtypes(adam['mu']):
+        return None   # mu_dtype change (e.g. f32 chain -> bf16 fused):
+                      # migrating would silently double the moment HBM
+                      # footprint and recompile the donated step
     return type(template_opt)(count=adam['count'], mu=adam['mu'],
                               nu=adam['nu'])
 
@@ -181,6 +224,15 @@ def _tree_shapes(tree):
         return None
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     return {'/'.join(_norm_key(k) for k in path): np.shape(leaf)
+            for path, leaf in flat}
+
+
+def _tree_dtypes(tree):
+    """{normalized path: dtype} map of a pytree's array leaves (None-safe)."""
+    if tree is None:
+        return None
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {'/'.join(_norm_key(k) for k in path): np.asarray(leaf).dtype
             for path, leaf in flat}
 
 

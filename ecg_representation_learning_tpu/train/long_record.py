@@ -21,7 +21,7 @@ makes that "a config change" for real (SURVEY §2.3 design bar):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -169,20 +169,50 @@ class RingPretrainer:
             self._step = jax.jit(step, donate_argnums=(0,))
 
     # ------------------------------------------------------------ checkpoints
-    def save_checkpoint(self, tag: str = 'latest') -> str:
+    def save_checkpoint(self, tag: Optional[str] = None) -> str:
+        """Step-tagged save (``ckpt-step{N}``): each save targets a FRESH
+        path, so a crash mid-write never deletes the previous committed
+        checkpoint (the round-2 single ``ckpt-latest`` + force overwrite had
+        a no-restorable-checkpoint window)."""
         import os
 
         from .checkpoint import save_checkpoint
+        tag = tag or f'step{int(self.state.step)}'
         path = os.path.join(os.path.abspath(self.output_dir), f'ckpt-{tag}')
         return save_checkpoint(path, self.state,
                                async_save=self.train_cfg.async_checkpoint)
 
-    def latest_checkpoint(self):
+    def _committed_checkpoints(self):
+        """Finalized checkpoint dirs, oldest first.  Orbax writes to a
+        ``*.orbax-checkpoint-tmp-*`` sibling and renames on commit, so a
+        final-named dir IS committed; tmp dirs (a kill mid-save) are skipped
+        rather than crashing the resume this feature exists for."""
         import glob
         import os
-        cands = [p for p in glob.glob(os.path.join(self.output_dir, 'ckpt-*'))
-                 if os.path.isdir(p)]
-        return max(cands, key=os.path.getmtime) if cands else None
+        import re
+        out = []
+        for p in glob.glob(os.path.join(self.output_dir, 'ckpt-*')):
+            base = os.path.basename(p)
+            if not os.path.isdir(p) or '.orbax-checkpoint-tmp' in base:
+                continue
+            m = re.match(r'ckpt-step(\d+)$', base)
+            out.append((int(m.group(1)) if m else -1, os.path.getmtime(p), p))
+        return [p for _, _, p in sorted(out)]
+
+    def latest_checkpoint(self):
+        from .checkpoint import latest_committed_checkpoint
+        return latest_committed_checkpoint(self.output_dir)
+
+    def _prune_checkpoints(self, keep: int = 2):
+        """Drop all but the newest ``keep`` committed checkpoints (an
+        in-flight async save is tmp-named, hence never a deletion target)."""
+        import os
+        import shutil
+        for p in self._committed_checkpoints()[:-keep]:
+            shutil.rmtree(p, ignore_errors=True)
+            for side in (p + '.meta.json', p + '.meta.json.pending'):
+                if os.path.exists(side):
+                    os.remove(side)
 
     def load_checkpoint(self, path: str):
         from .checkpoint import restore_checkpoint
@@ -215,6 +245,7 @@ class RingPretrainer:
             os.makedirs(self.output_dir, exist_ok=True)
         losses = []
         host_step = start_step
+        saved_at = -1
         for x in itertools.islice(iter(batches), start_step, steps):
             x = jnp.asarray(np.asarray(x, np.float32))
             with self.mesh:
@@ -222,9 +253,12 @@ class RingPretrainer:
             losses.append(float(loss))
             host_step += 1
             if ckpt_every and host_step % ckpt_every == 0:
-                self.save_checkpoint()
-        if ckpt_every:
-            self.save_checkpoint()
+                self.save_checkpoint(tag=f'step{host_step}')
+                self._prune_checkpoints()
+                saved_at = host_step
+        if ckpt_every and host_step != saved_at:
+            self.save_checkpoint(tag=f'step{host_step}')
+            self._prune_checkpoints()
         if self.train_cfg.async_checkpoint:
             from .checkpoint import wait_for_checkpoints
             wait_for_checkpoints()   # durable before returning

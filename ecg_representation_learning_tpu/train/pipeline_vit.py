@@ -36,7 +36,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import TrainConfig, VitConfig
-from ..models.vit import Block, EcgVit, PatchEmbed1D, bce_with_logits
+from ..models.vit import (Block, EcgVit, PatchEmbed1D, _dropout,
+                          bce_with_logits)
 from ..parallel.pipeline_parallel import (STAGE_AXIS, pipeline_apply,
                                           place_stage_params,
                                           stack_stage_params)
@@ -98,10 +99,12 @@ def pipeline_vit_forward(cfg: VitConfig, outer, stages, sig, mesh: Mesh,
     h = jnp.concatenate([cls, h], axis=1)
     h = h + enc_p['pos_embed'][:, :n_patch + 1].astype(h.dtype)
     if not deterministic and cfg.attention_probs_dropout_prob > 0.0 and rng is not None:
+        # same per-site dropout helper (and salt) as the plain model's
+        # embedding site (models/vit.py:172) so dropout_impl='hash' keeps its
+        # bit-identical-mask guarantee in pipeline mode too
         rng, emb_rng = jax.random.split(rng)
-        keep = 1.0 - cfg.attention_probs_dropout_prob
-        mask = jax.random.bernoulli(emb_rng, keep, h.shape)
-        h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+        h = _dropout(cfg, cfg.attention_probs_dropout_prob, salt=5).apply(
+            {}, h, deterministic=False, rngs={'dropout': emb_rng})
 
     t = n_patch + 1
     assert b % n_micro == 0, (b, n_micro)
@@ -181,6 +184,7 @@ class PipelineVitTrainer:
         rep = NamedSharding(self.mesh, P())
         outer = jax.tree.map(lambda a: jax.device_put(a, rep), outer)
         params = {'outer': outer, 'stages': stages}
+        self._finalize_optimizer(params)
         opt_state = self.optimizer.init(params)
         # moment trees mirror params, so Adam state for the stages is sharded
         # P('stage') as well (device_put follows the param leaves' shardings)
@@ -191,6 +195,48 @@ class PipelineVitTrainer:
             step=jax.device_put(jnp.zeros((), jnp.int32), rep),
             params=params, opt_state=opt_state,
             rng=jax.device_put(rng, rep))
+        return self.state
+
+    def _finalize_optimizer(self, params):
+        """Linear-probe mask (head-only updates) once a param tree exists;
+        idempotent.  ``linear_probe_mask`` keys on 'head' in the leaf path,
+        which the {'outer': {'params': {'head': ...}}} layout satisfies."""
+        if self.cfg.linear_probe and not getattr(self, '_probe_applied', False):
+            import dataclasses
+
+            from .optim import FusedAdamW
+            from .pretrain import linear_probe_mask
+            if isinstance(self.optimizer, FusedAdamW):
+                # optax.masked needs the transform interface (see
+                # Trainer._finalize_optimizer)
+                self.optimizer, self.schedule = make_optimizer(
+                    dataclasses.replace(self.cfg, fused_optimizer=False),
+                    self.total_steps)
+            mask = linear_probe_mask(params)
+            frozen = optax.masked(optax.set_to_zero(),
+                                  jax.tree.map(lambda m: not m, mask))
+            self.optimizer = optax.chain(self.optimizer, frozen)
+            self._probe_applied = True
+
+    def set_merged_params(self, merged):
+        """Install a plain ``scan_blocks``-layout param tree (a ported
+        reference checkpoint, an MAE-transferred trunk) into the staged
+        layout, re-initializing the optimizer state."""
+        if self.state is None:
+            self.init_state()
+        outer, stages = split_vit_params(merged, self.mesh.shape[STAGE_AXIS])
+        stages = place_stage_params(
+            jax.tree.map(jnp.asarray, stages), self.mesh)
+        rep = NamedSharding(self.mesh, P())
+        outer = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), rep), outer)
+        params = {'outer': outer, 'stages': stages}
+        self._finalize_optimizer(params)
+        opt_state = self.optimizer.init(params)
+        opt_state = jax.tree.map(
+            lambda a: jax.device_put(a, rep) if np.ndim(a) == 0 else a,
+            opt_state)
+        self.state = self.state.replace(params=params, opt_state=opt_state)
         return self.state
 
     def _build_step(self):
@@ -233,6 +279,11 @@ class PipelineVitTrainer:
             self._build_step()
         host_rng = np.random.default_rng(cfg.seed)
         n = len(self.train_data)
+        if n < cfg.train_batch_size:
+            raise ValueError(
+                f'training split ({n} records) is smaller than one batch '
+                f'({cfg.train_batch_size}); lower train_batch_size -- the '
+                f'pipelined step needs full batches (B % n_micro == 0)')
         t0 = time.time()
         last_loss = float('nan')
         for _ in range(cfg.num_train_epoch):

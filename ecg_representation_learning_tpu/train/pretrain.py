@@ -195,10 +195,8 @@ class MaeTrainer:
         return self.state
 
     def latest_checkpoint(self) -> Optional[str]:
-        import glob as globlib
-        cands = [p for p in globlib.glob(os.path.join(self.output_dir, 'ckpt-*'))
-                 if os.path.isdir(p)]
-        return max(cands, key=os.path.getmtime) if cands else None
+        from .checkpoint import latest_committed_checkpoint
+        return latest_committed_checkpoint(self.output_dir)
 
     def evaluate(self, data: Optional[SplitData] = None, seed: int = 0) -> float:
         """Held-out masked-reconstruction loss with a FIXED mask rng, so eval

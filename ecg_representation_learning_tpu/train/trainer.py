@@ -305,11 +305,10 @@ class Trainer:
         return sigs, labs, idx
 
     def latest_checkpoint(self) -> Optional[str]:
-        """Most recent ``ckpt-*`` under output_dir (crash-recovery restart)."""
-        import glob as globlib
-        cands = [p for p in globlib.glob(os.path.join(self.output_dir, 'ckpt-*'))
-                 if os.path.isdir(p)]
-        return max(cands, key=os.path.getmtime) if cands else None
+        """Most recent COMMITTED ``ckpt-*`` under output_dir (crash-recovery
+        restart; orbax tmp dirs from a kill mid-save are skipped)."""
+        from .checkpoint import latest_committed_checkpoint
+        return latest_committed_checkpoint(self.output_dir)
 
     def train(self, resume: Union[bool, str] = False) -> Dict[str, Any]:
         """Run the training loop.  ``resume``: True restarts from the latest
@@ -479,10 +478,17 @@ class Trainer:
         if signals.ndim == 2:
             signals = signals[None]
         n, c, length = signals.shape
+        explicit_window = window is not None
         window = window or (self.model_cfg.max_signal_length
                             - self.model_cfg.patch_size)
         hop = hop or max(1, window // 2)
-        if length <= window:
+        # predict() is lossless for any L < max_signal_length: time_end_pad
+        # (always-pad quirk, ops/pad.py) takes L to the next patch multiple,
+        # which stays <= max only while L < max.  Only slide windows beyond
+        # that -- or when the caller explicitly asked for a smaller window.
+        direct = (length <= window if explicit_window
+                  else length < self.model_cfg.max_signal_length)
+        if direct:
             return self.predict(signals)
         starts = list(range(0, length - window + 1, hop))
         if starts[-1] + window < length:       # cover the tail remainder

@@ -56,3 +56,50 @@ def test_trainer_async_checkpoint_resume_parity(tmp_path):
     ev_a = tr.evaluate(splits.eval)['loss']
     ev_b = tr2.evaluate(splits.eval)['loss']
     np.testing.assert_allclose(ev_a, ev_b, rtol=1e-6)
+
+
+def test_latest_committed_skips_orbax_tmp_dirs(tmp_path):
+    """A kill mid-save leaves a `*.orbax-checkpoint-tmp-*` sibling dir; the
+    crash-recovery resume must pick the last COMMITTED checkpoint, never the
+    tmp dir (and ckpt-step{N} names order by step, not mtime)."""
+    import os
+    import time
+
+    from ecg_representation_learning_tpu.train.checkpoint import (
+        latest_committed_checkpoint)
+    d = tmp_path / 'out'
+    d.mkdir()
+    (d / 'ckpt-step10').mkdir()
+    time.sleep(0.01)
+    (d / 'ckpt-step20').mkdir()
+    time.sleep(0.01)
+    # the in-flight save dies here: tmp dir is NEWEST by mtime
+    (d / 'ckpt-step30.orbax-checkpoint-tmp-1234567').mkdir()
+    assert latest_committed_checkpoint(str(d)) == str(d / 'ckpt-step20')
+    # step ordering beats mtime ordering
+    os.utime(d / 'ckpt-step10')
+    assert latest_committed_checkpoint(str(d)) == str(d / 'ckpt-step20')
+
+
+def test_async_meta_sidecar_never_precedes_commit(tmp_path):
+    """The .meta.json sidecar of an async save is parked under .pending and
+    published only once the checkpoint itself has committed."""
+    import json
+    import os
+
+    from ecg_representation_learning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint, wait_for_checkpoints)
+    tr, _ = small_trainer(tmp_path, 'meta')
+    tr.init_state()
+    path = str(tmp_path / 'ckpt-meta')
+    save_checkpoint(path, tr.state, extra={'epoch': 9}, async_save=True)
+    # immediately after the call returns, the published sidecar must not
+    # exist yet (only .pending may)
+    assert not os.path.exists(path + '.meta.json')
+    wait_for_checkpoints()
+    assert os.path.exists(path + '.meta.json')
+    assert not os.path.exists(path + '.meta.json.pending')
+    with open(path + '.meta.json') as f:
+        assert json.load(f) == {'epoch': 9}
+    _, extra = restore_checkpoint(path, tr.state)
+    assert extra == {'epoch': 9}

@@ -219,3 +219,46 @@ def test_trainer_fused_vs_chain_loss_parity():
         res = tr.train()
         losses[fused] = res['history'][-1]['loss']
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
+def test_chain_checkpoint_does_not_migrate_across_mu_dtype(tmp_path):
+    """f32 chain moments must NOT migrate into a fused trainer configured
+    with adam_mu_dtype='bfloat16': installing f32 mu there would silently
+    double the moment HBM footprint and recompile the donated step.  The
+    params-only fallback (fresh opt state in the CONFIGURED dtype) is the
+    correct behavior."""
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.train.optim import adam_moments
+    from ecg_representation_learning_tpu.train.trainer import (SplitData,
+                                                               Trainer)
+
+    rng = np.random.default_rng(7)
+    data = SplitData(
+        signals=rng.standard_normal((16, 12, 250)).astype(np.float32),
+        labels=(rng.uniform(size=(16, 8)) > 0.7).astype(np.float32))
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=320,
+                                       num_class=8)
+    old = Trainer(model_cfg,
+                  TrainConfig(num_train_epoch=1, train_batch_size=8,
+                              do_eval=False, fused_optimizer=False,
+                              log_to_console=False),
+                  train_data=data, output_dir=str(tmp_path / 'old'))
+    old.train()
+
+    new = Trainer(model_cfg,
+                  TrainConfig(num_train_epoch=1, train_batch_size=8,
+                              do_eval=False, fused_optimizer=True,
+                              adam_mu_dtype='bfloat16',
+                              log_to_console=False),
+                  train_data=data, output_dir=str(tmp_path / 'new'))
+    new.init_state()
+    new.load_checkpoint(str(tmp_path / 'old' / 'ckpt-final'))
+    mu_new, _ = adam_moments(new.state.opt_state)
+    # mu stays in the configured dtype and at its fresh zero init
+    for leaf in jax.tree.leaves(mu_new):
+        assert np.asarray(leaf).dtype.name == 'bfloat16'
+        assert float(np.abs(np.asarray(leaf, np.float32)).max()) == 0.0
+    # params still restored exactly
+    for a, b in zip(jax.tree.leaves(new.state.params),
+                    jax.tree.leaves(old.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -105,3 +105,31 @@ def test_pipeline_training_step_reduces_loss(rng):
     p2 = jax.tree.map(lambda p, gg: p - 0.02 * gg, stacked, g)
     l1 = float(jax.jit(loss_fn)(p2))
     assert np.isfinite(float(l0)) and l1 < float(l0)
+
+
+def test_dropout_keys_decorrelated_across_data_shards(rng):
+    # DP x PP mesh: the dropout key enters shard_map replicated, so without a
+    # data-axis fold every data shard would mask its own (different) samples
+    # with IDENTICAL patterns.  Feed identical rows into both data shards and
+    # assert the applied masks differ.
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ('data', 'stage'))
+    stage_params = place_stage_params(
+        jax.tree.map(lambda a: a, {'w': jnp.ones((4, 1, 1), jnp.float32)}),
+        mesh)
+
+    def block_fn(lp, h, key):
+        keep = jax.random.bernoulli(key, 0.5, h.shape)
+        return jnp.where(keep, h, jnp.zeros_like(h)) * lp['w'][0]
+
+    # (M=4, B=2, T, H) with both batch rows identical; B sharded over 'data'
+    row = jnp.asarray(rng.standard_normal((4, 1, 8, 16)), jnp.float32)
+    x = jnp.concatenate([row, row], axis=1)
+    from jax.sharding import PartitionSpec as P
+    out = np.asarray(pipeline_apply(stage_params, x, block_fn, mesh,
+                                    x_spec=P(None, 'data'),
+                                    rng=jax.random.PRNGKey(7)))
+    # same inputs, different shards -> different dropout masks
+    assert not np.allclose(out[:, 0], out[:, 1])
+    # and dropout actually acted (some entries zeroed)
+    assert (out == 0).any()

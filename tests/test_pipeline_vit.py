@@ -173,3 +173,48 @@ def test_cli_synth_hard(tmp_path):
               '--out', str(tmp_path)])
     info = json.loads(out.getvalue())
     assert os.path.exists(info['hdf5']) and os.path.exists(info['labels_csv'])
+
+
+def test_pipeline_trainer_rejects_subbatch_split(tmp_path):
+    """A split smaller than one batch must fail loudly at train() start (the
+    round-3 review found a NameError at epoch end instead)."""
+    import pytest
+
+    from ecg_representation_learning_tpu.data import (get_ptbxl_splits,
+                                                      synth_ptbxl)
+    signals, labels, folds = synth_ptbxl(n=24, length=256)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=64, mesh_data=2,
+                      mesh_stage=4, do_eval=False)
+    tr = PipelineVitTrainer(CFG, cfg, train_data=splits.train,
+                            output_dir=str(tmp_path / 'pp-small'))
+    with pytest.raises(ValueError, match='smaller than one batch'):
+        tr.train()
+
+
+def test_cli_train_mesh_stage_resume(tmp_path):
+    """--resume-from is honored in pipeline mode (the round-3 review found
+    the pp branch returned before the checkpoint flags took effect)."""
+    import contextlib
+    import io
+    import json
+
+    from ecg_representation_learning_tpu.cli import main
+    d = str(tmp_path / 'pp-resume')
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(['--platform', 'cpu', 'train', '--size', 'debug',
+              '--synth-n', '96', '--epochs', '1', '--batch-size', '16',
+              '--mesh-stage', '4', '--output-dir', d])
+    first = json.loads(out.getvalue())
+    out2 = io.StringIO()
+    with contextlib.redirect_stdout(out2):
+        main(['--platform', 'cpu', 'train', '--size', 'debug',
+              '--synth-n', '96', '--epochs', '1', '--batch-size', '16',
+              '--mesh-stage', '4', '--output-dir', d,
+              '--resume-from', f'{d}/ckpt-final'])
+    second = json.loads(out2.getvalue())
+    assert np.isfinite(first['train_loss']) and np.isfinite(second['train_loss'])
+    # the resumed run continues from trained weights: its loss is
+    # (weakly) below the fresh run's
+    assert second['train_loss'] <= first['train_loss'] + 1e-3

@@ -52,6 +52,37 @@ def test_mean_agg_and_custom_window(trainer):
     np.testing.assert_allclose(probs, manual, rtol=1e-5)
 
 
+def test_canonical_length_routes_direct(trainer):
+    # the canonical corpus case: window default is 256 (320 - 64) but
+    # predict() is LOSSLESS for any L < max_signal_length (always-pad takes
+    # 300 -> 320); routing it into two overlapping windows would silently
+    # change the probabilities (max-agg bias) and double the compute
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 12, 300)).astype(np.float32)
+    np.testing.assert_allclose(trainer.predict_long(x), trainer.predict(x),
+                               rtol=1e-6)
+
+
+def test_exact_max_length_windows_instead_of_crashing(trainer):
+    # L == max_signal_length: the always-pad quirk would pad 320 -> 384 past
+    # the pos table, so predict() cannot take it -- predict_long must window
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 12, 320)).astype(np.float32)
+    probs = trainer.predict_long(x)
+    assert probs.shape == (1, trainer.model_cfg.num_class)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_explicit_window_honored_below_max(trainer):
+    # an explicitly requested window overrides the direct-route heuristic
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 12, 300)).astype(np.float32)
+    probs = trainer.predict_long(x, window=150, hop=150, agg='mean')
+    manual = np.mean([trainer.predict(x[:, :, s:s + 150])
+                      for s in (0, 150)], axis=0)
+    np.testing.assert_allclose(probs, manual, rtol=1e-5)
+
+
 def test_2d_input_promoted(trainer):
     rng = np.random.default_rng(3)
     x = rng.standard_normal((12, 700)).astype(np.float32)

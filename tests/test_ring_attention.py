@@ -172,3 +172,24 @@ def test_ring_pretrainer_resume_from_sharded_stream(tmp_path, rng):
                     jax.tree.leaves(tr_c.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert all(np.isfinite(l) for l in res_a['losses'] + res_c['losses'])
+
+
+def test_ring_pretrainer_checkpoint_pruning(tmp_path):
+    """Step-tagged saves + pruning: old committed checkpoints are dropped,
+    the newest `keep` survive, and an in-flight orbax tmp dir is never a
+    deletion target (nor a resume candidate)."""
+    import os
+
+    from ecg_representation_learning_tpu.train.long_record import RingPretrainer
+    d = tmp_path / 'ckpts'
+    d.mkdir()
+    for step in (10, 20, 30):
+        (d / f'ckpt-step{step}').mkdir()
+    (d / 'ckpt-step40.orbax-checkpoint-tmp-99').mkdir()
+    tr = RingPretrainer.__new__(RingPretrainer)   # prune needs only the dir
+    tr.output_dir = str(d)
+    tr._prune_checkpoints(keep=2)
+    left = sorted(os.listdir(d))
+    assert left == ['ckpt-step20', 'ckpt-step30',
+                    'ckpt-step40.orbax-checkpoint-tmp-99']
+    assert tr.latest_checkpoint() == str(d / 'ckpt-step30')

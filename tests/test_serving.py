@@ -100,3 +100,40 @@ def test_http_round_trip(trainer):
             assert json.loads(r.read())['status'] == 'ok'
     finally:
         httpd.shutdown()
+
+
+def test_http_server_fault_maps_to_500(trainer):
+    """An internal fault (device/runtime error inside predict) must surface
+    as a retryable 500, not a 400 'bad request' -- and the server must stay
+    up either way."""
+    httpd = serve(trainer, port=0, warmup=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    orig = httpd.service.trainer.predict_long
+
+    def boom(*a, **k):
+        raise RuntimeError('XlaRuntimeError: RESOURCE_EXHAUSTED (simulated)')
+
+    try:
+        httpd.service.trainer.predict_long = boom
+        rng = np.random.default_rng(3)
+        body = json.dumps(
+            {'signals': rng.standard_normal((1, 12, 250)).tolist()}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=body,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+        assert 'RESOURCE_EXHAUSTED' in json.loads(ei.value.read())['error']
+        # server survives; a client error is still a 400
+        bad = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=b'not json',
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei2.value.code == 400
+    finally:
+        httpd.service.trainer.predict_long = orig
+        httpd.shutdown()
