@@ -79,11 +79,11 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     return path
 
 
-def latest_committed_checkpoint(output_dir: str) -> Optional[str]:
-    """Newest finalized ``ckpt-*`` dir under ``output_dir`` -- the crash-
-    recovery restart target.  Orbax writes into a ``*.orbax-checkpoint-tmp-*``
-    sibling and renames on commit, so tmp dirs (a kill mid-save) are skipped
-    instead of crashing the resume; ``ckpt-step{N}`` names order by step,
+def committed_checkpoints(output_dir: str) -> list:
+    """Finalized ``ckpt-*`` dirs under ``output_dir``, oldest first.  Orbax
+    writes into a ``*.orbax-checkpoint-tmp-*`` sibling and renames on commit,
+    so a final-named dir IS committed; tmp dirs (a kill mid-save) are skipped
+    instead of crashing a resume.  ``ckpt-step{N}`` names order by step,
     everything else by mtime."""
     import glob
     import re
@@ -94,7 +94,29 @@ def latest_committed_checkpoint(output_dir: str) -> Optional[str]:
             continue
         m = re.match(r'ckpt-step(\d+)$', base)
         out.append((int(m.group(1)) if m else -1, os.path.getmtime(p), p))
-    return sorted(out)[-1][2] if out else None
+    return [p for _, _, p in sorted(out)]
+
+
+def latest_committed_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest finalized ``ckpt-*`` dir (crash-recovery restart target)."""
+    cands = committed_checkpoints(output_dir)
+    return cands[-1] if cands else None
+
+
+def prune_checkpoints(output_dir: str, keep: int = 2) -> None:
+    """Drop all but the newest ``keep`` committed step-tagged checkpoints.
+    Only ``ckpt-step{N}`` names are pruned (best/final/epoch tags are user-
+    facing artifacts); an in-flight async save is tmp-named, hence never a
+    deletion target."""
+    import re
+    import shutil
+    steps = [p for p in committed_checkpoints(output_dir)
+             if re.match(r'ckpt-step\d+$', os.path.basename(p))]
+    for p in steps[:-keep] if keep else steps:
+        shutil.rmtree(p, ignore_errors=True)
+        for side in (p + '.meta.json', p + '.meta.json.pending'):
+            if os.path.exists(side):
+                os.remove(side)
 
 
 def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:

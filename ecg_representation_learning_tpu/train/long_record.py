@@ -182,37 +182,16 @@ class RingPretrainer:
         return save_checkpoint(path, self.state,
                                async_save=self.train_cfg.async_checkpoint)
 
-    def _committed_checkpoints(self):
-        """Finalized checkpoint dirs, oldest first.  Orbax writes to a
-        ``*.orbax-checkpoint-tmp-*`` sibling and renames on commit, so a
-        final-named dir IS committed; tmp dirs (a kill mid-save) are skipped
-        rather than crashing the resume this feature exists for."""
-        import glob
-        import os
-        import re
-        out = []
-        for p in glob.glob(os.path.join(self.output_dir, 'ckpt-*')):
-            base = os.path.basename(p)
-            if not os.path.isdir(p) or '.orbax-checkpoint-tmp' in base:
-                continue
-            m = re.match(r'ckpt-step(\d+)$', base)
-            out.append((int(m.group(1)) if m else -1, os.path.getmtime(p), p))
-        return [p for _, _, p in sorted(out)]
-
     def latest_checkpoint(self):
         from .checkpoint import latest_committed_checkpoint
         return latest_committed_checkpoint(self.output_dir)
 
     def _prune_checkpoints(self, keep: int = 2):
-        """Drop all but the newest ``keep`` committed checkpoints (an
-        in-flight async save is tmp-named, hence never a deletion target)."""
-        import os
-        import shutil
-        for p in self._committed_checkpoints()[:-keep]:
-            shutil.rmtree(p, ignore_errors=True)
-            for side in (p + '.meta.json', p + '.meta.json.pending'):
-                if os.path.exists(side):
-                    os.remove(side)
+        """Drop all but the newest ``keep`` committed step-tagged checkpoints
+        (an in-flight async save is tmp-named, hence never a deletion
+        target)."""
+        from .checkpoint import prune_checkpoints
+        prune_checkpoints(self.output_dir, keep=keep)
 
     def load_checkpoint(self, path: str):
         from .checkpoint import restore_checkpoint

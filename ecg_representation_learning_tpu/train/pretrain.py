@@ -308,10 +308,12 @@ class MaeTrainer:
             self.init_state()
         if ckpt_every:
             os.makedirs(self.output_dir, exist_ok=True)
+        from .checkpoint import prune_checkpoints
         step_fn = self.build_stream_step(raw_fqs=raw_fqs, wire_scale=wire_scale)
         timer = StepTimer()
         last_loss = float('nan')
         host_step = start_step
+        saved_at = -1
         for batch in itertools.islice(batches, start_step, total_steps):
             sig = jnp.asarray(batch)
             timer.input_done()
@@ -324,10 +326,17 @@ class MaeTrainer:
                 self.logger.info({'pretrain/loss': last_loss, 'step': host_step,
                                   **timer.summary()})
             if ckpt_every and host_step % ckpt_every == 0:
-                self.save_checkpoint(tag='stream-latest')
+                # step-tagged: each save targets a FRESH path, so a crash
+                # mid-write never deletes the previous committed checkpoint
+                # (a single force-overwritten tag had a zero-restorable
+                # window); prune keeps the newest two
+                self.save_checkpoint(tag=f'step{host_step}')
+                prune_checkpoints(self.output_dir, keep=2)
+                saved_at = host_step
         self._host_step = host_step
-        if ckpt_every:
-            self.save_checkpoint(tag='stream-latest')
+        if ckpt_every and host_step != saved_at:
+            self.save_checkpoint(tag=f'step{host_step}')
+            prune_checkpoints(self.output_dir, keep=2)
         if self.cfg.async_checkpoint:
             from .checkpoint import wait_for_checkpoints
             wait_for_checkpoints()
