@@ -81,6 +81,37 @@ def test_latest_committed_skips_orbax_tmp_dirs(tmp_path):
     assert latest_committed_checkpoint(str(d)) == str(d / 'ckpt-step20')
 
 
+def test_prune_keeps_newest_step_tags_only(tmp_path):
+    """prune_checkpoints drops all but the newest ``keep`` committed
+    ckpt-step{N} dirs; user-facing tags (best/final/epoch), in-flight tmp
+    dirs, and sidecars of surviving checkpoints are untouched -- the crash
+    window is therefore always covered by a committed restore target."""
+    import os
+
+    from ecg_representation_learning_tpu.train.checkpoint import (
+        committed_checkpoints, latest_committed_checkpoint, prune_checkpoints)
+    d = tmp_path / 'out'
+    d.mkdir()
+    for name in ('ckpt-step2', 'ckpt-step4', 'ckpt-step10', 'ckpt-best',
+                 'ckpt-final', 'ckpt-step12.orbax-checkpoint-tmp-99'):
+        (d / name).mkdir()
+    (d / 'ckpt-step2.meta.json').write_text('{}')
+    (d / 'ckpt-step10.meta.json').write_text('{}')
+    prune_checkpoints(str(d), keep=2)
+    left = sorted(os.listdir(d))
+    assert left == ['ckpt-best', 'ckpt-final', 'ckpt-step10',
+                    'ckpt-step10.meta.json', 'ckpt-step12.orbax-checkpoint-tmp-99',
+                    'ckpt-step4'], left
+    # resume target is still the newest committed step
+    assert latest_committed_checkpoint(str(d)) == str(d / 'ckpt-step10')
+    assert [os.path.basename(p) for p in committed_checkpoints(str(d))] == \
+        ['ckpt-best', 'ckpt-final', 'ckpt-step4', 'ckpt-step10']
+    # keep=0 clears every step tag but never the named artifacts
+    prune_checkpoints(str(d), keep=0)
+    assert sorted(p for p in os.listdir(d) if 'tmp' not in p) == \
+        ['ckpt-best', 'ckpt-final']
+
+
 def test_async_meta_sidecar_never_precedes_commit(tmp_path):
     """The .meta.json sidecar of an async save is parked under .pending and
     published only once the checkpoint itself has committed."""
