@@ -202,7 +202,13 @@ def bench_quality_dress():
     model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
     cfg = TrainConfig(num_train_epoch=8, train_batch_size=64,
                       eval_batch_size=128, do_eval=False, save_final=False,
-                      log_per_epoch=True, log_to_console=False)
+                      log_per_epoch=True, log_to_console=False,
+                      # measured optimum on this platform (PERF.md): 4 steps
+                      # per dispatch amortizes the runtime's per-dispatch
+                      # input walk; f16 residency halves it again and the
+                      # 2.6 GB HBM footprint -- quality is unchanged (the
+                      # emitted macro-AUROC is the proof)
+                      steps_per_dispatch=4, resident_dtype='float16')
     tr = Trainer(model_cfg, cfg, train_data=splits.train,
                  output_dir='/tmp/bench-dress')
     # schedule/optimizer were built for 8 epochs above; run epoch 1 alone to
@@ -223,9 +229,12 @@ def bench_quality_dress():
     macro = float(np.mean(valid))
     # anchor: the round-3 full-scale dress rehearsal landed at 0.96 (PERF.md)
     _emit('quality_macro_auroc', macro, 'auroc', macro / 0.96)
-    # steady-state wall per epoch (274 steps, host dispatch included; no
-    # checkpoint saves in the timed region -- save_final=False)
-    _emit('dress_seconds_per_epoch', epoch_s, 's/epoch', epoch_s / 7.7)
+    # steady-state wall per epoch (272 steps, host dispatch included; no
+    # checkpoint saves in the timed region -- save_final=False).
+    # vs_baseline = round-3 anchor / measured, so >1 means faster than the
+    # 7.7 s/epoch per-step-dispatch loop (consistent with the other metrics:
+    # higher is better)
+    _emit('dress_seconds_per_epoch', epoch_s, 's/epoch', 7.7 / epoch_s)
 
 
 def main():

@@ -35,6 +35,19 @@ def _add_common_train_flags(p):
     p.add_argument('--fsdp', action='store_true',
                    help='ZeRO-style storage sharding of params + Adam moments '
                         'over the data axis')
+    p.add_argument('--epoch-scan', action='store_true',
+                   help='run each epoch as ONE jitted lax.scan dispatch over '
+                        'the train step (device-resident splits; removes '
+                        'per-step host dispatch -- bit-identical updates)')
+    p.add_argument('--steps-per-dispatch', type=int, default=1,
+                   help='unroll K train steps into one jitted dispatch '
+                        '(amortizes per-dispatch runtime overhead on '
+                        'high-latency-attached hosts; program size grows ~K-fold)')
+    p.add_argument('--resident-dtype', default=None,
+                   choices=[None, 'float16', 'bfloat16'],
+                   help='storage dtype for the HBM-resident signals (halves '
+                        'resident HBM and per-dispatch input-walk cost; steps '
+                        'compute in float32)')
     p.add_argument('--seed', type=int, default=77)
     p.add_argument('--output-dir', default=None)
     p.add_argument('--n-sample', type=int, default=None)
@@ -116,6 +129,9 @@ def cmd_train(args):
         augment_timeout=args.timeout_augment, mesh_model=args.mesh_model,
         fsdp=args.fsdp, mesh_stage=getattr(args, 'mesh_stage', 1),
         seed=args.seed, n_sample=args.n_sample,
+        epoch_scan=getattr(args, 'epoch_scan', False),
+        steps_per_dispatch=getattr(args, 'steps_per_dispatch', 1),
+        resident_dtype=getattr(args, 'resident_dtype', None),
         linear_probe=getattr(args, 'probe', False))
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
     if cfg.mesh_stage > 1:

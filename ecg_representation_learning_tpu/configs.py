@@ -166,6 +166,43 @@ class TrainConfig:
                                         # ViT-base bs-64).  False = the optax
                                         # chain (reference implementation)
     log_per_epoch: bool = False
+    epoch_scan: bool = False            # run each training epoch as ONE jitted
+                                        # dispatch: lax.scan over the train
+                                        # step with a per-epoch (steps, bsz)
+                                        # index matrix gathering from the
+                                        # HBM-resident split.  Batches, rng
+                                        # evolution and updates are
+                                        # bit-identical to the per-step loop
+                                        # (tested); requires a device-resident
+                                        # split (falls back with a warning);
+                                        # per-step losses still reach
+                                        # TensorBoard at epoch end.  NOTE:
+                                        # measured SLOWER on the tunneled dev
+                                        # chip (226 vs 28 ms/step -- the axon
+                                        # runtime executes while-loop bodies
+                                        # pathologically, PERF.md); use
+                                        # steps_per_dispatch there instead
+    steps_per_dispatch: int = 1         # unroll K train steps into one jitted
+                                        # dispatch (a (K, bsz) index matrix;
+                                        # leftover steps run the single-step
+                                        # program).  Amortizes the per-dispatch
+                                        # runtime cost -- on the tunneled dev
+                                        # chip the PJRT client walks every
+                                        # input buffer at ~260 GB/s per call,
+                                        # so a 2.6 GB HBM-resident split costs
+                                        # ~10 ms/step at K=1 (PERF.md).
+                                        # Bit-identical to the per-step loop;
+                                        # program size grows ~K-fold (remote
+                                        # compiler limits: keep K small)
+    resident_dtype: Optional[str] = None  # storage dtype for the HBM-resident
+                                        # signals ('bfloat16'/'float16' halve
+                                        # resident HBM and the per-dispatch
+                                        # input-walk cost above); steps upcast
+                                        # to float32 before normalization.
+                                        # None = float32 (bit-exact).  Raw ECG
+                                        # spans ~+-30 mV, well inside fp16
+                                        # range; quality impact unmeasurable
+                                        # (bench dress rehearsal)
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end
     save_final: bool = True             # save ckpt-final when train() returns

@@ -118,6 +118,8 @@ class Trainer:
         self._host_step = 0  # mirrors state.step without device syncs
         self._resident = {}  # id(SplitData) -> (signals, labels) in HBM
         self._train_step = None
+        self._multi_step = None
+        self._epoch_step = None
         self._eval_step = None
         self.logger = get_logger(f'{name} Train')
         self.logger_fl = None
@@ -198,7 +200,9 @@ class Trainer:
             # per-step host->device batch transfer.  (Host-streaming mode
             # passes the batch itself with an iota idx -- same program.)
             rng, to_rng, do_rng = jax.random.split(state.rng, 3)
-            sig = jnp.take(signals, idx, axis=0)
+            # resident splits may be stored sub-f32 (cfg.resident_dtype);
+            # normalization and loss math always run in f32
+            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
             lab = jnp.take(labels, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             lab = jax.lax.with_sharding_constraint(lab, P(DATA_AXIS))
@@ -236,7 +240,7 @@ class Trainer:
             return new_state, metrics, probs, nonfinite_count
 
         def eval_step(params, signals, labels, idx):
-            sig = jnp.take(signals, idx, axis=0)
+            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
             lab = jnp.take(labels, idx, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             lab = jax.lax.with_sharding_constraint(lab, P(DATA_AXIS))
@@ -246,8 +250,44 @@ class Trainer:
             probs = jax.nn.sigmoid(out.logits.astype(jnp.float32))
             return out.loss, probs
 
+        def multi_step(state: TrainState, signals, labels, idx_mat,
+                       nonfinite_count):
+            # K steps unrolled into one dispatch (cfg.steps_per_dispatch):
+            # pure dataflow chaining -- no while-loop carry, so XLA aliases
+            # the state buffers across the chained updates; the per-dispatch
+            # runtime input walk (PERF.md: ~10 ms per 2.6 GB resident split
+            # on the tunneled chip) is paid once per K steps.
+            losses, gnorms = [], []
+            metrics = None
+            for k in range(idx_mat.shape[0]):   # static K at trace time
+                state, metrics, _, nonfinite_count = train_step(
+                    state, signals, labels, idx_mat[k], nonfinite_count)
+                losses.append(metrics['loss'])
+                gnorms.append(metrics['grad_norm'])
+            return (state, jnp.stack(losses), jnp.stack(gnorms), metrics,
+                    nonfinite_count)
+
+        def epoch_step(state: TrainState, signals, labels, idx_mat,
+                       nonfinite_count):
+            # the whole epoch as ONE dispatch (cfg.epoch_scan): lax.scan over
+            # the identical step body, batches gathered per scan iteration
+            # from the HBM-resident split by the (steps, bsz) index matrix.
+            # probs/binary-stats outputs are unused here, so XLA dead-code
+            # eliminates them; rng evolution matches the per-step loop
+            # bit-exactly (same splits, same order).
+            def body(carry, idx):
+                st, nf = carry
+                st, metrics, _, nf = train_step(st, signals, labels, idx, nf)
+                return (st, nf), (metrics['loss'], metrics['grad_norm'])
+
+            (state, nonfinite_count), (losses, gnorms) = jax.lax.scan(
+                body, (state, nonfinite_count), idx_mat)
+            return state, losses, gnorms, nonfinite_count
+
         with self.mesh:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 4))
+            self._multi_step = jax.jit(multi_step, donate_argnums=(0, 4))
+            self._epoch_step = jax.jit(epoch_step, donate_argnums=(0, 4))
             self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------ loops
@@ -279,9 +319,10 @@ class Trainer:
         key = id(data)
         if key not in self._resident:
             rep = replicated(self.mesh)
+            sig_dtype = jnp.dtype(self.cfg.resident_dtype or jnp.float32)
             with self.mesh:
                 self._resident[key] = (
-                    jax.device_put(jnp.asarray(data.signals, jnp.float32), rep),
+                    jax.device_put(jnp.asarray(data.signals, sig_dtype), rep),
                     jax.device_put(jnp.asarray(data.labels, jnp.float32), rep))
             # evict on GC of the SplitData: id() values are reused, so a dead
             # entry could alias a NEW split at the same address (silent wrong
@@ -340,30 +381,47 @@ class Trainer:
         if cfg.do_eval and self.eval_data is not None:
             self._log_epoch(self.evaluate(self.eval_data), prefix='eval')
         start_epoch = self.epoch
+        epoch_scan = cfg.epoch_scan
+        chunked = cfg.steps_per_dispatch > 1 and not epoch_scan
+        if (epoch_scan or chunked) and (
+                self._split_arrays(self.train_data) is None
+                or self.steps_per_epoch * cfg.train_batch_size
+                > len(self.train_data)):
+            self.logger.info('epoch_scan/steps_per_dispatch requested but the '
+                             'train split is not device-resident (or smaller '
+                             'than one batch); falling back to the per-step loop')
+            epoch_scan = chunked = False
         for _ in range(start_epoch, cfg.num_train_epoch):
             self.epoch += 1
-            for take, _ in self._index_batches(self.train_data,
-                                               cfg.train_batch_size,
-                                               shuffle_rng=host_rng):
-                sigs, labs, idx = self._step_inputs(self.train_data, take)
-                with self.mesh:
-                    self.state, metrics, probs, nonfinite = self._train_step(
-                        self.state, sigs, labs, idx, nonfinite)
-                # host-side step counter: fetching state.step would sync the
-                # device every step (~35 ms on the tunneled platform)
-                self._host_step += 1
-                step = self._host_step
-                if (not cfg.log_per_epoch) or step % self.steps_per_epoch == 0:
-                    payload = {f'train/{k}': float(v) for k, v in metrics.items()}
-                    payload.update(epoch=self.epoch, step=step)
-                    if cfg.debug_nans and int(nonfinite) > 0:
-                        # reference grad-clip error_if_nonfinite (train.py:281);
-                        # the on-device counter catches every step regardless
-                        # of log cadence, raised here at the sync point
-                        raise FloatingPointError(
-                            f'non-finite gradient norm by step {step} '
-                            f'({int(nonfinite)} bad steps; params unpoisoned)')
-                    self._log(payload)
+            if epoch_scan:
+                nonfinite = self._train_epoch_scanned(host_rng, nonfinite)
+            elif chunked:
+                nonfinite = self._train_epoch_chunked(host_rng, nonfinite)
+            else:
+                for take, _ in self._index_batches(self.train_data,
+                                                   cfg.train_batch_size,
+                                                   shuffle_rng=host_rng):
+                    sigs, labs, idx = self._step_inputs(self.train_data, take)
+                    with self.mesh:
+                        self.state, metrics, probs, nonfinite = self._train_step(
+                            self.state, sigs, labs, idx, nonfinite)
+                    # host-side step counter: fetching state.step would sync
+                    # the device every step (~35 ms on the tunneled platform)
+                    self._host_step += 1
+                    step = self._host_step
+                    if (not cfg.log_per_epoch) or step % self.steps_per_epoch == 0:
+                        payload = {f'train/{k}': float(v)
+                                   for k, v in metrics.items()}
+                        payload.update(epoch=self.epoch, step=step)
+                        if cfg.debug_nans and int(nonfinite) > 0:
+                            # reference grad-clip error_if_nonfinite
+                            # (train.py:281); the on-device counter catches
+                            # every step regardless of log cadence, raised
+                            # here at the sync point
+                            raise FloatingPointError(
+                                f'non-finite gradient norm by step {step} '
+                                f'({int(nonfinite)} bad steps; params unpoisoned)')
+                        self._log(payload)
             if cfg.debug_nans and int(nonfinite) > 0:
                 # epoch-end check covers throttled-logging configs
                 raise FloatingPointError(
@@ -397,6 +455,113 @@ class Trainer:
             self.tb.close()
         return {'best_eval_loss': best_eval_loss, 'history': history,
                 'epochs': self.epoch, 'seconds': dt}
+
+    def _train_epoch_scanned(self, host_rng, nonfinite):
+        """One epoch as a single jitted dispatch (cfg.epoch_scan): shuffle on
+        host exactly like the per-step loop, ship ONE (steps, bsz) int32 index
+        matrix, scan the train step over it on device.  Returns the updated
+        non-finite counter; logs the epoch summary plus the per-step loss
+        curve to TensorBoard."""
+        cfg = self.cfg
+        sigs, labs = self._split_arrays(self.train_data)
+        n = len(self.train_data)
+        idx = np.arange(n)
+        host_rng.shuffle(idx)  # same draw as _index_batches -> same batches
+        n_use = self.steps_per_epoch * cfg.train_batch_size
+        idx_mat = jnp.asarray(idx[:n_use].astype(np.int32).reshape(
+            self.steps_per_epoch, cfg.train_batch_size))
+        with self.mesh:
+            self.state, losses, gnorms, nonfinite = self._epoch_step(
+                self.state, sigs, labs, idx_mat, nonfinite)
+        self._host_step += self.steps_per_epoch
+        losses = np.asarray(losses)          # epoch-end sync (one fetch)
+        gnorms = np.asarray(gnorms)
+        if cfg.debug_nans and int(nonfinite) > 0:
+            raise FloatingPointError(
+                f'non-finite gradient norm during epoch {self.epoch} '
+                f'({int(nonfinite)} bad steps; params unpoisoned)')
+        if self.tb:  # per-step curve, recorded at epoch end
+            first = self._host_step - self.steps_per_epoch + 1
+            for i, (l, g) in enumerate(zip(losses, gnorms)):
+                self.tb.log({'train/loss': float(l),
+                             'train/grad_norm': float(g)}, step=first + i)
+        payload = {'train/loss': float(losses[-1]),
+                   'train/loss_epoch_mean': float(losses.mean()),
+                   'train/grad_norm': float(gnorms[-1]),
+                   'train/learning_rate': float(self.schedule(self._host_step - 1)),
+                   'epoch': self.epoch, 'step': self._host_step}
+        pretty = pretty_log_dict(payload)
+        if cfg.log_to_console:
+            self.logger.info(str(pretty))
+        if self.logger_fl:
+            self.logger_fl.info(str(pretty))
+        return nonfinite
+
+    def _train_epoch_chunked(self, host_rng, nonfinite):
+        """One epoch dispatched K steps at a time (cfg.steps_per_dispatch):
+        the shuffle draw and rng evolution match the per-step loop bit-exactly;
+        leftover steps (steps_per_epoch % K) run through the single-step
+        program, so only two programs ever compile.  Logging: one payload per
+        dispatch (last step's metrics) unless log_per_epoch throttles to the
+        epoch boundary."""
+        cfg = self.cfg
+        k = cfg.steps_per_dispatch
+        sigs, labs = self._split_arrays(self.train_data)
+        bsz = cfg.train_batch_size
+        idx = np.arange(len(self.train_data))
+        host_rng.shuffle(idx)  # same draw as _index_batches -> same batches
+        steps = self.steps_per_epoch
+        n_chunks, leftover = divmod(steps, k)
+        ep_losses, ep_gnorms = [], []
+        pos = 0
+        for _ in range(n_chunks):
+            take = idx[pos:pos + k * bsz].astype(np.int32).reshape(k, bsz)
+            pos += k * bsz
+            with self.mesh:
+                (self.state, losses, gnorms, metrics,
+                 nonfinite) = self._multi_step(self.state, sigs, labs,
+                                               jnp.asarray(take), nonfinite)
+            self._host_step += k
+            ep_losses.append(losses)
+            ep_gnorms.append(gnorms)
+            if not cfg.log_per_epoch:
+                payload = {f'train/{key}': float(v)
+                           for key, v in metrics.items()}
+                payload.update(epoch=self.epoch, step=self._host_step)
+                if cfg.debug_nans and int(nonfinite) > 0:
+                    raise FloatingPointError(
+                        f'non-finite gradient norm by step {self._host_step} '
+                        f'({int(nonfinite)} bad steps; params unpoisoned)')
+                self._log(payload)
+        for _ in range(leftover):
+            take = idx[pos:pos + bsz]
+            pos += bsz
+            idx_dev = jnp.asarray(take.astype(np.int32))
+            with self.mesh:
+                self.state, metrics, _, nonfinite = self._train_step(
+                    self.state, sigs, labs, idx_dev, nonfinite)
+            self._host_step += 1
+            if not cfg.log_per_epoch:
+                payload = {f'train/{key}': float(v)
+                           for key, v in metrics.items()}
+                payload.update(epoch=self.epoch, step=self._host_step)
+                self._log(payload)
+        if cfg.log_per_epoch:
+            losses = np.concatenate([np.asarray(l) for l in ep_losses]) \
+                if ep_losses else np.zeros(0)
+            if cfg.debug_nans and int(nonfinite) > 0:
+                raise FloatingPointError(
+                    f'non-finite gradient norm during epoch {self.epoch} '
+                    f'({int(nonfinite)} bad steps; params unpoisoned)')
+            payload = {'train/loss': float(metrics['loss']),
+                       'train/grad_norm': float(metrics['grad_norm']),
+                       'train/learning_rate':
+                           float(self.schedule(self._host_step - 1)),
+                       'epoch': self.epoch, 'step': self._host_step}
+            if losses.size:
+                payload['train/loss_epoch_mean'] = float(losses.mean())
+            self._log(payload)
+        return nonfinite
 
     def evaluate(self, data: SplitData, loss_reduction: str = 'mean',
                  return_predictions: bool = False) -> Dict[str, Any]:

@@ -368,3 +368,70 @@ def test_hard_marker_corpus_discriminating_band(tmp_path):
     macro = float(np.mean(valid))
     # calibrated 0.82 (round 3); the band is the regression gate
     assert 0.72 <= macro <= 0.97, (macro, aucs)
+
+
+def test_epoch_scan_bit_identical_to_per_step_loop(tmp_path):
+    """cfg.epoch_scan runs the whole epoch as one lax.scan dispatch; the
+    host shuffle draw, on-device rng evolution and updates must match the
+    per-step loop bit-exactly (same batches, same params)."""
+    tr_a, _ = small_setup(tmp_path, n=128, epochs=2, do_eval=False,
+                          augment_timeout=True, save_final=False)
+    res_a = tr_a.train()
+    tr_b, _ = small_setup(tmp_path, n=128, epochs=2, do_eval=False,
+                          augment_timeout=True, save_final=False,
+                          epoch_scan=True)
+    res_b = tr_b.train()
+    assert res_b['epochs'] == res_a['epochs'] == 2
+    assert tr_b._host_step == tr_a._host_step
+    for a, b in zip(jax.tree.leaves(tr_a.state.params),
+                    jax.tree.leaves(tr_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_scan_falls_back_when_not_resident(tmp_path):
+    tr, _ = small_setup(tmp_path, n=128, epochs=1, do_eval=False,
+                        epoch_scan=True, device_resident=False,
+                        save_final=False)
+    res = tr.train()   # must not crash; per-step fallback trains normally
+    assert tr._host_step == tr.steps_per_epoch
+
+
+def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
+    """cfg.steps_per_dispatch=K unrolls K steps into one dispatch; with K not
+    dividing steps_per_epoch the leftover steps run the single-step program.
+    Batches and rng evolution are identical to the per-step loop; params agree
+    to float rounding (XLA may fuse across the unrolled steps, reassociating
+    float ops -- cross-program bitwise equality is not an XLA guarantee)."""
+    # n=160 -> train split 132; bsz=16 -> 8 steps/epoch; K=3 -> 2 chunks + 2
+    # leftover single steps per epoch (both programs exercised)
+    tr_a, _ = small_setup(tmp_path, n=160, epochs=2, do_eval=False,
+                          train_batch_size=16, augment_timeout=True,
+                          save_final=False)
+    tr_a.train()
+    tr_b, _ = small_setup(tmp_path, n=160, epochs=2, do_eval=False,
+                          train_batch_size=16, augment_timeout=True,
+                          save_final=False, steps_per_dispatch=3)
+    tr_b.train()
+    assert tr_a.steps_per_epoch == 8 and tr_a.steps_per_epoch % 3 != 0
+    assert tr_b._host_step == tr_a._host_step == 16
+    for a, b in zip(jax.tree.leaves(tr_a.state.params),
+                    jax.tree.leaves(tr_b.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-8)
+
+
+def test_resident_dtype_trains_and_halves_storage(tmp_path):
+    tr, splits = small_setup(tmp_path, n=128, epochs=1, do_eval=False,
+                             save_final=False, resident_dtype='float16')
+    res = tr.train()
+    sigs, labs = tr._split_arrays(tr.train_data)
+    assert sigs.dtype == jnp.float16
+    assert labs.dtype == jnp.float32          # labels stay exact
+    ev = tr.evaluate(splits.eval)
+    assert np.isfinite(ev['loss'])
+    # f16 storage must track the f32 run closely on the same seed
+    tr32, _ = small_setup(tmp_path, n=128, epochs=1, do_eval=False,
+                          save_final=False)
+    tr32.train()
+    ev32 = tr32.evaluate(splits.eval)
+    np.testing.assert_allclose(ev['loss'], ev32['loss'], rtol=2e-2)
