@@ -108,7 +108,8 @@ class MaeTrainer:
             # trainer.Trainer._step_inputs); host-streaming mode passes the
             # batch itself with an iota idx
             rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
-            sig = jnp.take(signals, idx, axis=0)
+            # resident splits may be stored sub-f32 (cfg.resident_dtype)
+            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             # crop after the always-pad quirk: inputs already a patch multiple
             # gain a zero patch (transform.py:148-151) that would exceed the
@@ -142,7 +143,7 @@ class MaeTrainer:
                 nonfinite_count
 
         def eval_step(params, signals, idx, mask_rng):
-            sig = jnp.take(signals, idx, axis=0)
+            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=False)
             sig = sig[..., :self.model_cfg.max_signal_length]
@@ -165,9 +166,10 @@ class MaeTrainer:
         if resident:
             key = id(data)
             if key not in self._resident:
+                sig_dtype = jnp.dtype(self.cfg.resident_dtype or jnp.float32)
                 with self.mesh:
                     self._resident[key] = jax.device_put(
-                        jnp.asarray(data.signals, jnp.float32),
+                        jnp.asarray(data.signals, sig_dtype),
                         replicated(self.mesh))
                 # evict on GC: id() reuse would alias a new split (see Trainer)
                 weakref.finalize(data, self._resident.pop, key, None)

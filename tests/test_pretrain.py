@@ -240,3 +240,21 @@ def test_mae_nonfinite_grad_sanitizer(tmp_path):
     # params stayed finite (grads were zeroed on the bad steps)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(tr.state.params))
+
+
+def test_mae_resident_dtype(tmp_path, rng):
+    from ecg_representation_learning_tpu.train.trainer import SplitData
+    import jax.numpy as jnp
+    sigs = rng.standard_normal((64, 12, 256)).astype(np.float32)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=256,
+                                       use_flash_attention=False)
+    mae_cfg = MaeConfig(decoder_hidden_size=64, decoder_num_layers=1,
+                        decoder_num_heads=4, decoder_intermediate_size=128)
+    cfg = TrainConfig(num_train_epoch=1, train_batch_size=16, do_eval=False,
+                      save_final=False, resident_dtype='float16',
+                      learning_rate=1e-3)
+    tr = MaeTrainer(model_cfg, mae_cfg, cfg, output_dir=str(tmp_path / 'f16'))
+    tr.train_data = SplitData(sigs, np.zeros((64, 1), np.float32))
+    res = tr.train()
+    assert np.isfinite(res['loss'])
+    assert tr._resident[id(tr.train_data)].dtype == jnp.float16
