@@ -158,15 +158,14 @@ def cmd_train(args):
             ported = port_vit_pytorch_state_dict(sd, pp_model_cfg)
             pp.set_merged_params(stack_unrolled_params(ported, n_layers))
         if getattr(args, 'init_encoder', None):
-            # MAE trunk -> the unrolled view of the pipeline params -> staged
-            from .train.pretrain import (load_pretrained_encoder,
-                                         transfer_encoder)
-            mae_params = load_pretrained_encoder(args.init_encoder, model_cfg)
+            # SSL trunk (MAE or contrastive, auto-detected) -> the unrolled
+            # view of the pipeline params -> staged
+            from .train.contrastive import load_any_encoder
             if pp.state is None:
                 pp.init_state()
             unrolled = unstack_scanned_params(pp.merged_params(), n_layers)
             merged = stack_unrolled_params(
-                transfer_encoder(mae_params, unrolled), n_layers)
+                load_any_encoder(args.init_encoder, unrolled), n_layers)
             pp.set_merged_params(merged)
         if args.resume_from:
             pp.load_checkpoint(args.resume_from)
@@ -184,13 +183,13 @@ def cmd_train(args):
                  norm_stats=stats, output_dir=args.output_dir)
     _maybe_port(args, tr)
     if getattr(args, 'init_encoder', None):
-        # SSL -> supervised handoff: MAE-pretrained trunk into the classifier
-        # (full fine-tune by default; --probe freezes the trunk)
-        from .train.pretrain import load_pretrained_encoder, transfer_encoder
-        mae_params = load_pretrained_encoder(args.init_encoder, model_cfg)
+        # SSL -> supervised handoff: pretrained trunk into the classifier
+        # (MAE or contrastive checkpoint, auto-detected from its param tree;
+        # full fine-tune by default; --probe freezes the trunk)
+        from .train.contrastive import load_any_encoder
         if tr.state is None:
             tr.init_state()
-        tr.set_params(transfer_encoder(mae_params, tr.state.params))
+        tr.set_params(load_any_encoder(args.init_encoder, tr.state.params))
     if args.resume_from:
         tr.load_checkpoint(args.resume_from)
     result = tr.train()
@@ -201,22 +200,29 @@ def cmd_train(args):
 
 
 def cmd_pretrain(args):
-    from .configs import MaeConfig, TrainConfig
+    from .configs import ContrastiveConfig, MaeConfig, TrainConfig
     from .registry import PTBXL_TRAIN_STATS
+    from .train.contrastive import ContrastiveTrainer
     from .train.pretrain import MaeTrainer
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
-    mae_cfg = MaeConfig(mask_ratio=args.mask_ratio)
     cfg = TrainConfig(
         num_train_epoch=args.epochs, train_batch_size=args.batch_size,
         eval_batch_size=args.batch_size, learning_rate=args.lr,
         weight_decay=args.weight_decay, schedule=args.schedule,
         warmup_ratio=args.warmup_ratio, patience=args.patience,
         mesh_model=args.mesh_model, fsdp=args.fsdp, seed=args.seed)
-    tr = MaeTrainer(model_cfg, mae_cfg, cfg, train_data=splits.train,
-                    eval_data=splits.eval,
-                    norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None,
-                    output_dir=args.output_dir or 'runs/mae')
+    stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
+    if getattr(args, 'objective', 'mae') == 'contrastive':
+        tr = ContrastiveTrainer(
+            model_cfg, ContrastiveConfig(temperature=args.temperature), cfg,
+            train_data=splits.train, eval_data=splits.eval, norm_stats=stats,
+            output_dir=args.output_dir or 'runs/contrastive')
+    else:
+        tr = MaeTrainer(model_cfg, MaeConfig(mask_ratio=args.mask_ratio), cfg,
+                        train_data=splits.train, eval_data=splits.eval,
+                        norm_stats=stats,
+                        output_dir=args.output_dir or 'runs/mae')
     result = tr.train(resume=bool(getattr(args, 'resume_from', None))
                       and args.resume_from)
     print(json.dumps({'pretrain_loss': result['loss'],
@@ -425,14 +431,23 @@ def main(argv=None):
                             help='pipeline-parallel stage count (>1 stages '
                                  'the transformer stack over a stage mesh '
                                  'axis; GPipe microbatches)')
-            sp.add_argument('--init-encoder', default=None, metavar='MAE_CKPT',
-                            help='initialize the encoder trunk from an MAE '
-                                 'pretrain checkpoint (cli pretrain output)')
+            sp.add_argument('--init-encoder', default=None, metavar='SSL_CKPT',
+                            help='initialize the encoder trunk from a '
+                                 'pretrain checkpoint (cli pretrain output; '
+                                 'MAE or contrastive, auto-detected)')
             sp.add_argument('--probe', action='store_true',
                             help='linear probe: freeze the pretrained trunk, '
                                  'train only the classification head')
         if name == 'pretrain':
+            sp.add_argument('--objective', default='mae',
+                            choices=['mae', 'contrastive'],
+                            help='self-supervised objective: masked-patch '
+                                 'reconstruction (MAE) or two-view NT-Xent '
+                                 '(SimCLR-style; negatives are the global '
+                                 'batch, all-gathered over the data axis)')
             sp.add_argument('--mask-ratio', type=float, default=0.75)
+            sp.add_argument('--temperature', type=float, default=0.1,
+                            help='NT-Xent temperature (contrastive only)')
         if name in ('evaluate', 'visualize'):
             sp.add_argument('--checkpoint', default=None)
         if name == 'evaluate':

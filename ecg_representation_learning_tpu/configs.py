@@ -132,6 +132,32 @@ class MaeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ContrastiveConfig:
+    """SimCLR-style contrastive pretraining (NT-Xent over two stochastic views).
+
+    Second self-supervised family next to masked-patch modeling (MaeConfig):
+    the paper the reference's headline metric comes from (*Self-supervised
+    representation learning from 12-lead ECG data*, util/train.py:34-40)
+    pretrains contrastively; the reference itself never implements it.  Views
+    are built ON DEVICE from morphology-safe augmentations (ops/augment.py)
+    inside the jitted step; negatives are the full GLOBAL batch -- with the
+    batch sharded over the data axis GSPMD all-gathers the projection matrix
+    (one (2B, proj_dim) collective over ICI), so every chip contrasts against
+    all 2B-2 negatives, not just its local shard.
+    """
+    temperature: float = 0.1
+    proj_hidden_size: int = 512     # hidden width of the 2-layer projection MLP
+    proj_dim: int = 128             # embedding dim the loss acts on
+    # view-construction knobs (ops/augment.py contrastive_view)
+    scale_lo: float = 0.8
+    scale_hi: float = 1.25
+    jitter_sigma: float = 0.05
+    lead_dropout: float = 0.2
+    shift_frac: float = 0.5
+    timeout_hi: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training hyper-parameters (defaults from reference models/train.py:407-427)."""
     num_train_epoch: int = 3

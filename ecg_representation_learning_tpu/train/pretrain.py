@@ -395,6 +395,11 @@ class MaeTrainer:
                                'pretrain/lr': float(metrics['learning_rate']),
                                'pretrain/grad_norm': float(metrics['grad_norm']),
                                'epoch': self.epoch, 'step': step}
+                    # objective-specific extras (e.g. the contrastive
+                    # trainer's top-1 retrieval accuracy) flow to all sinks
+                    payload.update({
+                        f'pretrain/{k}': float(v) for k, v in metrics.items()
+                        if k not in ('loss', 'learning_rate', 'grad_norm')})
                     self.logger.info(str(payload))
                     logger_fl.info(str(payload))
                     tb.log(payload, step)

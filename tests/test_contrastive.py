@@ -1,0 +1,277 @@
+"""Contrastive (SimCLR/NT-Xent) pretraining family.
+
+Covers: the NT-Xent loss against a float64 numpy reference, the
+morphology-safe view augmentations (ops/augment.py), end-to-end training with
+falling loss on structured data, global-batch negatives under an 8-way
+sharded batch (loss parity vs a single-device run), checkpoint/resume, the
+encoder transfer into EcgVit with auto-detection of the checkpoint kind, and
+the streaming step.  The reference has no pretraining loop (SURVEY.md §7
+stage 7); its headline-metric paper pretrains contrastively
+(reference util/train.py:34-40).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecg_representation_learning_tpu.configs import (ContrastiveConfig,
+                                                     TrainConfig, VitConfig)
+from ecg_representation_learning_tpu.models.contrastive import nt_xent
+from ecg_representation_learning_tpu.ops.augment import (amplitude_scale,
+                                                         channel_dropout,
+                                                         contrastive_view,
+                                                         gaussian_jitter,
+                                                         time_shift)
+from ecg_representation_learning_tpu.train.contrastive import (
+    ContrastiveTrainer, detect_encoder_kind, load_any_encoder,
+    transfer_contrastive_encoder)
+from ecg_representation_learning_tpu.train.trainer import SplitData, Trainer
+
+
+def _model_cfg(**kw):
+    base = dict(max_signal_length=256, patch_size=64, flash_interpret=True)
+    base.update(kw)
+    return VitConfig.from_defined('debug', **base)
+
+
+def _train_cfg(**kw):
+    base = dict(num_train_epoch=2, train_batch_size=16, eval_batch_size=16,
+                do_eval=False, save_final=False, log_per_epoch=True,
+                log_to_console=False)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _corpus(rng, n=64, length=256):
+    """Structured signals: one distinct tone per record (coarse frequency
+    grid -- the 1.024 s window resolves ~1 Hz, so records stay separable),
+    random phase/gain/noise as nuisance.  Views of the same record are then
+    mutually predictive and records are mutually contrastable."""
+    t = np.arange(length) / 250.0
+    freq = np.linspace(2.0, 60.0, n)
+    phase = rng.uniform(0, 2 * np.pi, size=n)
+    sig = np.sin(2 * np.pi * freq[:, None] * t + phase[:, None])
+    sig = (sig[:, None, :] * rng.uniform(0.5, 1.5, size=(n, 12, 1))
+           + 0.05 * rng.standard_normal((n, 12, length)))
+    return SplitData(signals=sig.astype(np.float32),
+                     labels=np.zeros((n, 1), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+def test_nt_xent_matches_numpy_reference(rng):
+    z = rng.standard_normal((12, 7)).astype(np.float32)
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    t = 0.2
+    sim = (z.astype(np.float64) @ z.T.astype(np.float64)) / t
+    np.fill_diagonal(sim, -np.inf)
+    pos = (np.arange(12) + 6) % 12
+    ref = float(np.mean(np.log(np.exp(sim).sum(-1)) - sim[np.arange(12), pos]))
+    got = float(nt_xent(jnp.asarray(z), t))
+    assert abs(got - ref) < 1e-5
+
+    # a perfectly aligned pair with orthogonal negatives scores ~100% top-1
+    e = np.eye(4, dtype=np.float32)
+    z2 = jnp.asarray(np.concatenate([e, e], axis=0))
+    loss, acc = nt_xent(z2, 0.05, with_accuracy=True)
+    assert float(acc) == 1.0
+    assert float(loss) < 0.1
+
+
+def test_nt_xent_gradient_is_finite(rng):
+    z = rng.standard_normal((8, 5)).astype(np.float32)
+    z /= np.linalg.norm(z, axis=-1, keepdims=True)
+    g = jax.grad(lambda a: nt_xent(a, 0.1))(jnp.asarray(z))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# view augmentations
+# ---------------------------------------------------------------------------
+def test_augment_ops_shapes_and_semantics(rng):
+    x = jnp.asarray(rng.standard_normal((4, 12, 250)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    y = amplitude_scale(key, x, lo=0.5, hi=2.0)
+    gains = np.asarray(y) / np.asarray(x)
+    # one gain per sample, shared across leads and time
+    assert np.allclose(gains, gains[:, :1, :1], rtol=1e-5)
+    assert (gains[:, 0, 0] >= 0.5 - 1e-6).all() and (gains[:, 0, 0] <= 2.0 + 1e-6).all()
+
+    y = gaussian_jitter(key, x, sigma=0.1)
+    assert y.shape == x.shape and not np.allclose(np.asarray(y), np.asarray(x))
+
+    y = channel_dropout(key, x, rate=0.5)
+    zeroed = np.all(np.asarray(y) == 0, axis=-1)       # (B, C)
+    kept = np.isclose(np.asarray(y), np.asarray(x)).all(axis=-1)
+    assert (zeroed | kept).all()                       # each lead all-or-nothing
+    assert (~zeroed).any(axis=1).all()                 # never all 12 dropped
+
+    # even at rate ~1 the all-dropped fallback keeps every lead
+    y = channel_dropout(key, x, rate=0.999999)
+    assert np.all(np.all(np.asarray(y) != 0, axis=-1) | np.all(np.asarray(x) == 0, axis=-1))
+
+    y = time_shift(key, x, max_frac=0.5)
+    for b in range(4):  # circular: a permutation of each lead's samples
+        assert np.allclose(np.sort(np.asarray(y[b, 0])),
+                           np.sort(np.asarray(x[b, 0])))
+    # same per-sample shift across leads: lead alignment preserved
+    x_np, y_np = np.asarray(x), np.asarray(y)
+    for b in range(4):
+        shift0 = np.argmax([np.allclose(np.roll(x_np[b, 0], -s), y_np[b, 0])
+                            for s in range(125)])
+        assert np.allclose(np.roll(x_np[b, 5], -shift0), y_np[b, 5], atol=1e-6)
+
+    v = jax.jit(lambda k, a: contrastive_view(k, a))(key, x)
+    assert v.shape == x.shape and np.isfinite(np.asarray(v)).all()
+    # deterministic per key, different across keys
+    v2 = contrastive_view(key, x)
+    assert np.allclose(np.asarray(v), np.asarray(v2))
+    v3 = contrastive_view(jax.random.PRNGKey(4), x)
+    assert not np.allclose(np.asarray(v), np.asarray(v3))
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+def test_contrastive_loss_falls_and_beats_chance(rng, tmp_path):
+    data = _corpus(rng, n=64)
+    # gentler views than the production defaults: the debug-size trunk on a
+    # 1 s window needs most of the tone to survive each view (calibrated:
+    # eval 4.24 -> 2.58 vs chance 3.43; top-1 retrieval 0.44 vs 0.03 chance)
+    cc = ContrastiveConfig(proj_hidden_size=64, proj_dim=16,
+                           jitter_sigma=0.02, lead_dropout=0.1,
+                           timeout_hi=0.1)
+    tr = ContrastiveTrainer(
+        _model_cfg(), cc,
+        _train_cfg(num_train_epoch=10, learning_rate=1e-3),
+        train_data=data, eval_data=data, output_dir=str(tmp_path / 'con'))
+    tr.init_state()
+    tr._build_step()
+    # capture the untrained eval loss, then train
+    first = tr.evaluate(data, seed=0)
+    res = tr.train()
+    last = tr.evaluate(data, seed=0)
+    assert np.isfinite(res['loss'])
+    # chance-level InfoNCE is log(2B-1); trained must be clearly below both
+    # chance and its own untrained starting point
+    chance = np.log(2 * 16 - 1)
+    assert last < first - 0.5, (first, last)
+    assert last < chance - 0.3, (last, chance)
+    # top-1 positive retrieval on held-out views: far above 1/(2B-1) chance
+    sigs, take = tr._sig_inputs(data, np.arange(16))
+    with tr.mesh:
+        _, acc = tr._eval_step(tr.state.params, sigs, take,
+                               jax.random.PRNGKey(0))
+    assert float(acc) > 0.2, float(acc)
+
+
+def test_sharded_negatives_match_single_device(rng, tmp_path):
+    """The loss with the batch sharded 8 ways must equal the single-device
+    loss on the same inputs -- i.e. negatives are the GLOBAL batch (GSPMD
+    all-gathers the projections), not per-shard pools."""
+    from ecg_representation_learning_tpu.parallel.mesh import make_mesh
+    data = _corpus(rng, n=32)
+    cc = ContrastiveConfig(proj_hidden_size=64, proj_dim=16)
+
+    def run(mesh_devices):
+        mesh = make_mesh(n_data=len(mesh_devices), devices=mesh_devices)
+        tr = ContrastiveTrainer(
+            _model_cfg(hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0),
+            cc, _train_cfg(seed=5), train_data=data,
+            output_dir=str(tmp_path / f'm{len(mesh_devices)}'), mesh=mesh)
+        tr.init_state(seed=5)
+        tr._build_step()
+        sigs, take = tr._sig_inputs(data, np.arange(32))
+        with tr.mesh:
+            _, metrics, _ = tr._train_step(tr.state, sigs, take,
+                                           jnp.zeros((), jnp.int32))
+        return float(metrics['loss'])
+
+    loss_1 = run(jax.devices()[:1])
+    loss_8 = run(jax.devices())
+    assert abs(loss_1 - loss_8) < 5e-4, (loss_1, loss_8)
+
+
+def test_checkpoint_resume_and_transfer(rng, tmp_path):
+    data = _corpus(rng, n=48)
+    mc = _model_cfg()
+    cc = ContrastiveConfig(proj_hidden_size=64, proj_dim=16)
+    tr = ContrastiveTrainer(mc, cc, _train_cfg(), train_data=data,
+                            output_dir=str(tmp_path / 'a'))
+    tr.train()
+    ckpt = tr.save_checkpoint('final')
+
+    # resume restores bit-exact state
+    tr2 = ContrastiveTrainer(mc, cc, _train_cfg(), train_data=data,
+                             output_dir=str(tmp_path / 'a'))
+    tr2.init_state()
+    tr2.load_checkpoint(ckpt)
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # kind auto-detection + trunk transfer into the classifier
+    assert detect_encoder_kind(ckpt) == 'contrastive'
+    sup = Trainer(mc, _train_cfg(), train_data=data,
+                  output_dir=str(tmp_path / 'sup'))
+    sup.init_state()
+    merged = load_any_encoder(ckpt, sup.state.params)
+    want = transfer_contrastive_encoder(tr.state.params, sup.state.params)
+    for a, b in zip(jax.tree.leaves(merged['params']['encoder']),
+                    jax.tree.leaves(want['params']['encoder'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # head stays at its fresh init
+    np.testing.assert_array_equal(
+        np.asarray(merged['params']['head']['kernel']),
+        np.asarray(sup.state.params['params']['head']['kernel']))
+
+    # an MAE checkpoint still routes through the MAE transfer
+    from ecg_representation_learning_tpu.configs import MaeConfig
+    from ecg_representation_learning_tpu.train.pretrain import MaeTrainer
+    mae = MaeTrainer(mc, MaeConfig(decoder_hidden_size=32,
+                                   decoder_num_layers=1, decoder_num_heads=2,
+                                   decoder_intermediate_size=64),
+                     _train_cfg(num_train_epoch=1), train_data=data,
+                     output_dir=str(tmp_path / 'mae'))
+    mae.train()
+    mae_ckpt = mae.save_checkpoint('final')
+    assert detect_encoder_kind(mae_ckpt) == 'mae'
+    merged2 = load_any_encoder(mae_ckpt, sup.state.params)
+    np.testing.assert_array_equal(
+        np.asarray(merged2['params']['encoder']['patch_embed']['proj']['kernel']),
+        np.asarray(mae.state.params['params']['encoder_patch_embed']['proj']['kernel']))
+
+    # wrong model size fails loudly
+    big = Trainer(VitConfig.from_defined('tiny', max_signal_length=256,
+                                         patch_size=64), _train_cfg())
+    big.init_state()
+    with pytest.raises(ValueError, match='wrong model size'):
+        load_any_encoder(ckpt, big.state.params)
+
+
+def test_stream_step_runs_and_checkpoint_prunes(rng, tmp_path):
+    """Streaming contrastive pretrain from raw 500 Hz batches (fused on-device
+    prep inside the step) with step-tagged crash-safe checkpoints."""
+    tr = ContrastiveTrainer(
+        _model_cfg(max_signal_length=128, patch_size=64),
+        ContrastiveConfig(proj_hidden_size=32, proj_dim=8),
+        _train_cfg(), output_dir=str(tmp_path / 'stream'))
+    tr.init_state()
+
+    def batches():
+        g = np.random.default_rng(0)
+        while True:
+            yield g.standard_normal((8, 12, 256)).astype(np.float32)
+
+    res = tr.train_stream(batches(), total_steps=5, raw_fqs=500,
+                          log_every=5, ckpt_every=2)
+    assert np.isfinite(res['loss']) and res['steps'] == 5
+    names = sorted(os.path.basename(p) for p in
+                   __import__('glob').glob(str(tmp_path / 'stream' / 'ckpt-*'))
+                   if os.path.isdir(p))
+    assert 'ckpt-step5' in names and len(names) <= 2  # pruned to newest two
