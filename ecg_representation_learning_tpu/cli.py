@@ -48,6 +48,19 @@ def _add_common_train_flags(p):
                    help='storage dtype for the HBM-resident signals (halves '
                         'resident HBM and per-dispatch input-walk cost; steps '
                         'compute in float32)')
+    p.add_argument('--grad-accum', type=int, default=1,
+                   help='microbatches per optimizer step (activation memory '
+                        '/ N at the same effective batch; grads averaged '
+                        'before one update)')
+    p.add_argument('--ema-decay', type=float, default=0.0,
+                   help='>0: keep an EMA of the params (e.g. 0.999); '
+                        'eval/inference then run on the EMA weights')
+    p.add_argument('--moe-experts', type=int, default=0,
+                   help='Switch-MoE: replace every --moe-every-th block\'s '
+                        'MLP with this many expert FFNs behind a top-1 '
+                        'router; expert stacks shard over the model axis '
+                        '(expert parallelism, models/moe.py)')
+    p.add_argument('--moe-every', type=int, default=2)
     p.add_argument('--seed', type=int, default=77)
     p.add_argument('--output-dir', default=None)
     p.add_argument('--n-sample', type=int, default=None)
@@ -98,8 +111,14 @@ def _model_cfg_for(args):
     ca(model_size=args.size)
     dtype = 'bfloat16' if args.bf16 else 'float32'
     if getattr(args, 'port_checkpoint', None) or not getattr(args, 'patch_norm', True):
-        return reference_vit_config(args.size, dtype=dtype)
-    return VitConfig.from_defined(args.size, dtype=dtype)
+        cfg = reference_vit_config(args.size, dtype=dtype)
+    else:
+        cfg = VitConfig.from_defined(args.size, dtype=dtype)
+    if getattr(args, 'moe_experts', 0):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, moe_num_experts=args.moe_experts,
+                                  moe_every=args.moe_every)
+    return cfg
 
 
 def _maybe_port(args, trainer):
@@ -132,6 +151,7 @@ def cmd_train(args):
         epoch_scan=getattr(args, 'epoch_scan', False),
         steps_per_dispatch=getattr(args, 'steps_per_dispatch', 1),
         resident_dtype=getattr(args, 'resident_dtype', None),
+        grad_accum=args.grad_accum, ema_decay=args.ema_decay,
         linear_probe=getattr(args, 'probe', False))
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
     if cfg.mesh_stage > 1:
@@ -301,6 +321,8 @@ def cmd_infer(args):
     _maybe_port(args, tr)
     if args.checkpoint:
         tr.load_checkpoint(args.checkpoint)
+    if args.int8:
+        tr.enable_int8_inference()
     # predict_long: records longer than the model input are auto-windowed
     # (sliding windows + per-class max); short records pass straight through
     probs = tr.predict_long(sigs)
@@ -333,6 +355,8 @@ def cmd_serve(args):
     _maybe_port(args, tr)
     if args.checkpoint:
         tr.load_checkpoint(args.checkpoint)
+    if args.int8:
+        tr.enable_int8_inference()
     httpd = serve(tr, host=args.host, port=args.port)
     print(json.dumps({'serving': f'http://{args.host}:{args.port}',
                       'endpoints': ['/health', '/predict']}), flush=True)
@@ -467,6 +491,10 @@ def main(argv=None):
     pi.add_argument('--checkpoint', default=None)
     pi.add_argument('--port-checkpoint', default=None, metavar='PT_FILE')
     pi.add_argument('--top-k', type=int, default=5)
+    pi.add_argument('--int8', action='store_true',
+                    help='weight-only int8 quantized inference '
+                         '(models/quantize.py; ~4x smaller weights, '
+                         'dequant fused into the matmuls)')
     pi.add_argument('--out', default='predictions.json')
     pi.set_defaults(fn=cmd_infer)
 
@@ -477,6 +505,8 @@ def main(argv=None):
                      choices=[None, 'original', 'denoised'])
     psv.add_argument('--checkpoint', default=None)
     psv.add_argument('--port-checkpoint', default=None, metavar='PT_FILE')
+    psv.add_argument('--int8', action='store_true',
+                     help='serve weight-only int8 quantized weights')
     psv.add_argument('--host', default='127.0.0.1')
     psv.add_argument('--port', type=int, default=8000)
     psv.set_defaults(fn=cmd_serve)

@@ -72,6 +72,17 @@ class VitConfig:
                                     # NOT checkpoint-compatible with the
                                     # unrolled layout (block_i vs blocks).
     size: Optional[str] = None      # name from the ladder, if built via from_defined
+    # Mixture-of-Experts / expert parallelism (models/moe.py): >0 replaces the
+    # dense MLP of every moe_every-th block with moe_num_experts expert FFNs
+    # behind a Switch top-1 router.  Expert weights are stacked (E, d, f) and
+    # sharded over the 'model' mesh axis (EP rides the TP axis); trainers add
+    # moe_aux_weight * the Switch load-balance loss to the objective.
+    # Incompatible with scan_blocks (per-layer structure differs).
+    moe_num_experts: int = 0
+    moe_every: int = 2              # MoE in blocks i with (i+1) % moe_every == 0
+    moe_capacity_factor: float = 1.25  # per-expert buffer = ceil(cf * S / E);
+                                    # overflow tokens fall through the residual
+    moe_aux_weight: float = 0.01    # weight of the load-balance auxiliary loss
 
     @property
     def num_patches(self) -> int:
@@ -229,6 +240,23 @@ class TrainConfig:
                                         # spans ~+-30 mV, well inside fp16
                                         # range; quality impact unmeasurable
                                         # (bench dress rehearsal)
+    grad_accum: int = 1                 # split each optimizer step's batch
+                                        # into this many sequentially-computed
+                                        # microbatches (lax.scan): activation
+                                        # memory shrinks ~grad_accum-fold at
+                                        # the same effective batch; grads are
+                                        # averaged before ONE update, so the
+                                        # schedule/step count is unchanged.
+                                        # Train large models / long records
+                                        # past the HBM activation ceiling.
+                                        # Must divide train_batch_size
+    ema_decay: float = 0.0              # >0: keep an exponential moving
+                                        # average of the params (updated on
+                                        # device every step, checkpointed with
+                                        # the state); evaluate()/predict()
+                                        # then run on the EMA weights -- the
+                                        # standard serving-quality smoothing
+                                        # the reference lacks.  Typical 0.999
     log_to_console: bool = True
     save_every_n_epoch: int = 0         # 0 = only save at the end
     save_final: bool = True             # save ckpt-final when train() returns

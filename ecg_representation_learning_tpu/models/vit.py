@@ -133,6 +133,8 @@ class Mlp(nn.Module):
 
 class Block(nn.Module):
     cfg: VitConfig
+    use_moe: bool = False   # Switch MoE MLP instead of the dense one
+                            # (models/moe.py; set per layer by the encoder)
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_probs: bool = False):
@@ -140,7 +142,12 @@ class Block(nn.Module):
             nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm1')(x),
             deterministic, return_probs)
         x = x + attn_out
-        x = x + Mlp(self.cfg, name='mlp')(
+        if self.use_moe:
+            from .moe import MoeMlp
+            mlp = MoeMlp(self.cfg, name='moe')
+        else:
+            mlp = Mlp(self.cfg, name='mlp')
+        x = x + mlp(
             nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm2')(x), deterministic)
         return x, probs
 
@@ -177,6 +184,10 @@ class EcgVitEncoder(nn.Module):
         if cfg.remat and not return_attention:
             # rematerialize each block's activations in the backward pass
             block_cls = nn.remat(Block, static_argnums=(2, 3))
+        if cfg.moe_num_experts > 0:
+            assert not cfg.scan_blocks, (
+                'MoE blocks differ per layer; scan_blocks needs identical '
+                'layers -- use the unrolled stack for MoE models')
         if cfg.scan_blocks and not return_attention:
             # one traced block, params stacked (L, ...): the XLA program is
             # ~L x smaller (fast remote compiles, big batches fit the
@@ -189,8 +200,11 @@ class EcgVitEncoder(nn.Module):
             h, _ = scan_block(cfg, name='blocks')(h, deterministic, False)
         else:
             for i in range(cfg.num_hidden_layers):
-                h, probs = block_cls(cfg, name=f'block_{i}')(h, deterministic,
-                                                             return_attention)
+                use_moe = (cfg.moe_num_experts > 0
+                           and (i + 1) % cfg.moe_every == 0)
+                h, probs = block_cls(cfg, use_moe=use_moe,
+                                     name=f'block_{i}')(h, deterministic,
+                                                        return_attention)
                 if return_attention:
                     attn_maps.append(probs)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='final_norm')(h)

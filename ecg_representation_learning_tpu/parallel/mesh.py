@@ -53,6 +53,11 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r'mlp/fc2/kernel$',         P(MODEL_AXIS, None)),
     # patch embedding: shard the hidden dim
     (r'patch_embed/proj/kernel$', P(None, MODEL_AXIS)),
+    # expert parallelism: MoE expert FFN stacks (E, d, f) shard the leading
+    # expert axis over 'model' (models/moe.py; the dispatch einsum becomes
+    # the expert all-to-all over ICI); the router stays replicated
+    (r'moe/w[12]$',              P(MODEL_AXIS, None, None)),
+    (r'moe/b[12]$',              P(MODEL_AXIS, None)),
     # everything else replicated (norms, biases, pos/cls embeddings, head)
 )
 

@@ -144,34 +144,51 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         # diagnose with a raw (template-free) restore; a failure THERE is
         # genuine corruption / a missing checkpoint and propagates
         raw = ckptr.restore(path)
+        log = logging.getLogger(__name__)
         if _tree_shapes(raw.get('params')) != _tree_shapes(template['params']):
             raise ValueError(
                 f'checkpoint {path} params do not match this model: saved '
                 f'{_shape_summary(raw.get("params"))} vs expected '
                 f'{_shape_summary(template["params"])} -- wrong model '
                 f'size/config?') from None
+        # EMA layout skew is benign in both directions (resolved here so it
+        # never masquerades as -- or hides -- an optimizer mismatch)
+        ema_missing = 'ema_params' in template and 'ema_params' not in raw
+        ema_extra = 'ema_params' not in template and 'ema_params' in raw
+        if ema_missing:
+            log.warning('checkpoint %s predates EMA tracking; seeding the '
+                        'EMA from the restored params', path)
+        if ema_extra:
+            log.warning('checkpoint %s carries EMA params this trainer does '
+                        'not track (ema_decay=0); dropping them', path)
         if _tree_shapes(raw.get('opt_state')) == _tree_shapes(template['opt_state']):
-            raise  # params AND opt_state match -- the failure is something else
-        migrated = _migrate_adam_state(raw.get('opt_state'),
-                                       template['opt_state'],
-                                       _tree_shapes(template['params']))
-        if migrated is not None:
-            # a pre-FusedAdamW checkpoint (optax chain layout): the Adam
-            # moments and count carry over -- exact resume survives the
-            # optimizer-implementation upgrade
-            logging.getLogger(__name__).warning(
-                'migrated optimizer state in %s from the optax-chain layout '
-                'to FusedAdamWState (moments and count preserved)', path)
-            restored = {'step': raw['step'], 'params': raw['params'],
-                        'rng': raw['rng'], 'opt_state': migrated}
+            if not (ema_missing or ema_extra):
+                raise  # params AND opt_state match -- the failure is something else
+            opt = raw['opt_state']
         else:
-            logging.getLogger(__name__).warning(
-                'optimizer state in %s does not match this trainer '
-                '(different optimizer chain, e.g. linear-probe vs full); '
-                'restored params/step/rng and reinitialized the optimizer',
-                path)
-            restored = {'step': raw['step'], 'params': raw['params'],
-                        'rng': raw['rng'], 'opt_state': template['opt_state']}
+            migrated = _migrate_adam_state(raw.get('opt_state'),
+                                           template['opt_state'],
+                                           _tree_shapes(template['params']))
+            if migrated is not None:
+                # a pre-FusedAdamW checkpoint (optax chain layout): the Adam
+                # moments and count carry over -- exact resume survives the
+                # optimizer-implementation upgrade
+                log.warning(
+                    'migrated optimizer state in %s from the optax-chain '
+                    'layout to FusedAdamWState (moments and count preserved)',
+                    path)
+                opt = migrated
+            else:
+                log.warning(
+                    'optimizer state in %s does not match this trainer '
+                    '(different optimizer chain, e.g. linear-probe vs full); '
+                    'restored params/step/rng and reinitialized the optimizer',
+                    path)
+                opt = template['opt_state']
+        restored = {'step': raw['step'], 'params': raw['params'],
+                    'rng': raw['rng'], 'opt_state': opt}
+        if 'ema_params' in template:
+            restored['ema_params'] = raw.get('ema_params', raw['params'])
     # orbax can return the SAVED shapes without raising when the template
     # disagrees -- catch wrong-model checkpoints loudly (the fallback branch
     # above already verified its params, so this is a no-op there)
@@ -268,14 +285,25 @@ def _shape_summary(tree, limit: int = 4) -> str:
 
 
 def _to_pytree(state):
-    return {'step': state.step, 'params': state.params,
+    tree = {'step': state.step, 'params': state.params,
             'opt_state': state.opt_state, 'rng': state.rng}
+    # param EMA (TrainConfig.ema_decay): saved only when carried, so non-EMA
+    # checkpoints keep their historical layout
+    if getattr(state, 'ema_params', None) is not None:
+        tree['ema_params'] = state.ema_params
+    return tree
 
 
 def _from_pytree(like_state, tree):
-    return like_state.replace(
+    kw = dict(
         step=jax.numpy.asarray(tree['step']),
         params=jax.tree.map(jax.numpy.asarray, tree['params']),
         opt_state=jax.tree.map(jax.numpy.asarray, tree['opt_state']),
         rng=jax.numpy.asarray(tree['rng']),
     )
+    if getattr(like_state, 'ema_params', None) is not None:
+        # pre-EMA checkpoint loaded by an EMA-enabled trainer: seed the
+        # average from the restored params (restore_checkpoint warns)
+        kw['ema_params'] = jax.tree.map(jax.numpy.asarray,
+                                        tree.get('ema_params', tree['params']))
+    return like_state.replace(**kw)

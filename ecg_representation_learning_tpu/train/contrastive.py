@@ -67,7 +67,9 @@ class ContrastiveTrainer(MaeTrainer):
         rng, init_rng = jax.random.split(rng)
         dummy = jnp.zeros((2, self.model_cfg.num_channels,
                            self.model_cfg.max_signal_length), jnp.float32)
-        params = self.model.init(init_rng, dummy)
+        variables = self.model.init(init_rng, dummy)
+        params = ({'params': variables['params']}
+                  if set(variables) != {'params'} else variables)
         opt_state = self.optimizer.init(params)
         pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
         osh = opt_state_shardings(opt_state, pspec, self.mesh)
@@ -109,12 +111,16 @@ class ContrastiveTrainer(MaeTrainer):
             x = self._views(sig, aug_rng)
 
             def loss_fn(params):
+                from ..models.moe import apply_with_moe
                 with tp_ctx():
-                    z = model.apply(params, x, deterministic=False,
-                                    rngs={'dropout': do_rng})
-                return nt_xent(z, cc.temperature, with_accuracy=True)
+                    z, aux = apply_with_moe(
+                        model, params, x, deterministic=False,
+                        rngs={'dropout': do_rng},
+                        moe=self.model_cfg.moe_num_experts > 0)
+                loss, acc = nt_xent(z, cc.temperature, with_accuracy=True)
+                return loss + self.model_cfg.moe_aux_weight * aux, (loss, acc)
 
-            (loss, acc), grads = jax.value_and_grad(
+            (_, (loss, acc)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             grad_norm = optax.global_norm(grads)
             finite = jnp.isfinite(grad_norm)
@@ -212,12 +218,16 @@ class ContrastiveTrainer(MaeTrainer):
                 jnp.concatenate(views, axis=0), P(DATA_AXIS))
 
             def loss_fn(params):
+                from ..models.moe import apply_with_moe
                 with tp_ctx():
-                    z = self.model.apply(params, x, deterministic=False,
-                                         rngs={'dropout': do_rng})
-                return nt_xent(z, cc.temperature)
+                    z, aux = apply_with_moe(
+                        self.model, params, x, deterministic=False,
+                        rngs={'dropout': do_rng},
+                        moe=self.model_cfg.moe_num_experts > 0)
+                loss = nt_xent(z, cc.temperature)
+                return loss + self.model_cfg.moe_aux_weight * aux, loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             params, opt_state = apply_optimizer(self.optimizer, grads,
                                                 state.opt_state, state.params)
             return TrainState(step=state.step + 1, params=params,

@@ -71,7 +71,11 @@ class MaeTrainer:
         rng, init_rng, mask_rng = jax.random.split(rng, 3)
         dummy = jnp.zeros((1, self.model_cfg.num_channels,
                            self.model_cfg.max_signal_length), jnp.float32)
-        params = self.model.init({'params': init_rng, 'mask': mask_rng}, dummy)
+        variables = self.model.init({'params': init_rng, 'mask': mask_rng}, dummy)
+        # strip non-param collections (a MoE trunk also inits the sown 'moe'
+        # aux-loss collection)
+        params = ({'params': variables['params']}
+                  if set(variables) != {'params'} else variables)
         opt_state = self.optimizer.init(params)
         # same parallel surface as the supervised Trainer: TP/Megatron param
         # rules + optional ZeRO/FSDP storage sharding of params AND the Adam
@@ -118,12 +122,15 @@ class MaeTrainer:
             sig = sig[..., :self.model_cfg.max_signal_length]
 
             def loss_fn(params):
+                from ..models.moe import apply_with_moe
                 with tp_ctx():  # trace-time: shard_map-wrap the flash kernel
-                    out = model.apply(params, sig, deterministic=False,
-                                      rngs={'mask': mask_rng, 'dropout': do_rng})
-                return out.loss
+                    out, aux = apply_with_moe(
+                        model, params, sig, deterministic=False,
+                        rngs={'mask': mask_rng, 'dropout': do_rng},
+                        moe=self.model_cfg.moe_num_experts > 0)
+                return out.loss + self.model_cfg.moe_aux_weight * aux, out.loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             grad_norm = optax.global_norm(grads)
             # numeric sanitizer (same as Trainer): zero a non-finite step's
             # gradients so params never get poisoned, count the event on
@@ -250,13 +257,15 @@ class MaeTrainer:
                 sig = sig[..., :self.model_cfg.max_signal_length]
 
             def loss_fn(params):
+                from ..models.moe import apply_with_moe
                 with tp_ctx():
-                    out = self.model.apply(
-                        params, sig, deterministic=False,
-                        rngs={'mask': mask_rng, 'dropout': do_rng})
-                return out.loss
+                    out, aux = apply_with_moe(
+                        self.model, params, sig, deterministic=False,
+                        rngs={'mask': mask_rng, 'dropout': do_rng},
+                        moe=self.model_cfg.moe_num_experts > 0)
+                return out.loss + self.model_cfg.moe_aux_weight * aux, out.loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             params, opt_state = apply_optimizer(self.optimizer, grads,
                                                 state.opt_state, state.params)
             return TrainState(step=state.step + 1, params=params,

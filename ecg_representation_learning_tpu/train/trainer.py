@@ -13,6 +13,9 @@ TPU-first:
   * eval epochs with loss_reduction 'mean'/'none' (train.py:321-378), device
     binary stats + host macro-AUROC (util/train.py:12-56 semantics);
   * early stopping on eval loss with ``patience`` (train.py:301-314);
+  * gradient accumulation (``cfg.grad_accum``: scanned microbatches, one
+    averaged update) and an on-device parameter EMA (``cfg.ema_decay``,
+    checkpointed; eval/inference serve the EMA weights);
   * orbax checkpoints of (params, opt_state, step, rng) with exact resume --
     fixing the reference's no-optimizer-state, no-resume gap (SURVEY.md §5);
   * console + file + TensorBoard triple logging sink (train.py:380-397).
@@ -51,6 +54,9 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # EMA of the params (cfg.ema_decay > 0); None adds no pytree leaves, so
+    # the state structure -- and old checkpoints -- are unchanged when off
+    ema_params: Any = None
 
 
 @dataclasses.dataclass
@@ -108,6 +114,8 @@ class Trainer:
         self.save_time = datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S')
         self.output_dir = output_dir or os.path.join('runs', self.save_time)
 
+        assert train_cfg.train_batch_size % max(1, train_cfg.grad_accum) == 0, \
+            (train_cfg.train_batch_size, train_cfg.grad_accum)
         n_train = len(train_data) if train_data is not None else 1
         self.steps_per_epoch = train_cfg.steps_per_epoch(n_train)
         self.total_steps = train_cfg.total_steps(n_train)
@@ -121,6 +129,8 @@ class Trainer:
         self._multi_step = None
         self._epoch_step = None
         self._eval_step = None
+        self._eval_step_int8 = None
+        self._int8 = None   # (int8 param tree, scales) via enable_int8_inference
         self.logger = get_logger(f'{name} Train')
         self.logger_fl = None
         self.tb = None
@@ -148,7 +158,11 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         dummy = jnp.zeros((1, self.model_cfg.num_channels,
                            self.model_cfg.max_signal_length), jnp.float32)
-        params = self.model.init({'params': init_rng}, dummy)
+        variables = self.model.init({'params': init_rng}, dummy)
+        # MoE models also init the sown 'moe' aux-loss collection -- the
+        # train state carries learnable params only
+        params = ({'params': variables['params']}
+                  if set(variables) != {'params'} else variables)
         self._finalize_optimizer(params)
         opt_state = self.optimizer.init(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -158,11 +172,15 @@ class Trainer:
         # cfg.fsdp), scalars replicated
         pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
         osh = opt_state_shardings(opt_state, pspec, self.mesh)
+        placed = jax.tree.map(jax.device_put, params, pspec)
         state = TrainState(
             step=jax.device_put(state.step, replicated(self.mesh)),
-            params=jax.tree.map(jax.device_put, params, pspec),
+            params=placed,
             opt_state=jax.tree.map(jax.device_put, opt_state, osh),
             rng=jax.device_put(state.rng, replicated(self.mesh)),
+            # EMA starts at the init params, sharded like them
+            ema_params=(jax.tree.map(jnp.copy, placed)
+                        if self.cfg.ema_decay > 0 else None),
         )
         self.state = state
         return state
@@ -194,30 +212,71 @@ class Trainer:
         else:
             tp_ctx = contextlib.nullcontext
 
-        def train_step(state: TrainState, signals, labels, idx, nonfinite_count):
-            # the split lives in HBM (replicated); each step ships only a
-            # (bsz,) int32 index vector and gathers rows ON DEVICE -- no
-            # per-step host->device batch transfer.  (Host-streaming mode
-            # passes the batch itself with an iota idx -- same program.)
-            rng, to_rng, do_rng = jax.random.split(state.rng, 3)
+        accum = max(1, cfg.grad_accum)
+
+        def micro_grads(params, signals, labels, idx_k, to_rng, do_rng):
+            """Gather one (micro)batch from the HBM-resident split, prep it,
+            and return (loss, logits, labels) + grads -- the unit both the
+            plain step (accum=1) and the accumulation scan run."""
             # resident splits may be stored sub-f32 (cfg.resident_dtype);
             # normalization and loss math always run in f32
-            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
-            lab = jnp.take(labels, idx, axis=0)
+            sig = jnp.take(signals, idx_k, axis=0).astype(jnp.float32)
+            lab = jnp.take(labels, idx_k, axis=0)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             lab = jax.lax.with_sharding_constraint(lab, P(DATA_AXIS))
             sig = _prep_batch(sig, mean, std, patch, train=cfg.augment_timeout,
                               rng=to_rng)
 
             def loss_fn(params):
+                from ..models.moe import apply_with_moe
                 with tp_ctx():   # trace-time: shard_map-wrap the flash kernel
-                    out = model.apply(params, sig, labels=lab,
-                                      deterministic=False,
-                                      loss_weight=cfg.loss_weight,
-                                      rngs={'dropout': do_rng})
-                return out.loss, out.logits
+                    out, aux = apply_with_moe(
+                        model, params, sig, labels=lab, deterministic=False,
+                        loss_weight=cfg.loss_weight, rngs={'dropout': do_rng},
+                        moe=self.model_cfg.moe_num_experts > 0)
+                # task loss drives metrics; the Switch load-balance aux joins
+                # the objective only (keeps 'loss' comparable to dense runs)
+                total = out.loss + self.model_cfg.moe_aux_weight * aux
+                return total, (out.loss, out.logits, lab)
 
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (_, aux_out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return aux_out, grads
+
+        def train_step(state: TrainState, signals, labels, idx, nonfinite_count):
+            # the split lives in HBM (replicated); each step ships only a
+            # (bsz,) int32 index vector and gathers rows ON DEVICE -- no
+            # per-step host->device batch transfer.  (Host-streaming mode
+            # passes the batch itself with an iota idx -- same program.)
+            rng, to_rng, do_rng = jax.random.split(state.rng, 3)
+            if accum == 1:
+                (loss, logits, lab), grads = micro_grads(
+                    state.params, signals, labels, idx, to_rng, do_rng)
+            else:
+                # gradient accumulation: lax.scan the microbatch unit, grads
+                # summed into a params-shaped carry (activation memory is one
+                # microbatch's), ONE optimizer update on the mean -- same
+                # effective batch and schedule as accum=1
+                idx_m = idx.reshape(accum, -1)
+                to_rngs = jax.random.split(to_rng, accum)
+                do_rngs = jax.random.split(do_rng, accum)
+
+                def body(carry, xs):
+                    gacc, lsum = carry
+                    idx_k, t_k, d_k = xs
+                    (l, logits_k, lab_k), g = micro_grads(
+                        state.params, signals, labels, idx_k, t_k, d_k)
+                    gacc = jax.tree.map(jnp.add, gacc, g)
+                    return (gacc, lsum + l), (logits_k, lab_k)
+
+                g0 = jax.tree.map(jnp.zeros_like, state.params)
+                (gsum, lsum), (logits_m, lab_m) = jax.lax.scan(
+                    body, (g0, jnp.zeros((), jnp.float32)),
+                    (idx_m, to_rngs, do_rngs))
+                grads = jax.tree.map(lambda g: g / accum, gsum)
+                loss = lsum / accum
+                logits = logits_m.reshape(-1, logits_m.shape[-1])
+                lab = lab_m.reshape(-1, lab_m.shape[-1])
             grad_norm = optax.global_norm(grads)
             # numeric sanitizer, decoupled from the log cadence: zero a
             # non-finite step's gradients so params never get poisoned, count
@@ -232,8 +291,15 @@ class Trainer:
             nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
             params, opt_state = apply_optimizer(self.optimizer, grads,
                                                 state.opt_state, state.params)
+            if cfg.ema_decay > 0:
+                d = jnp.float32(cfg.ema_decay)
+                ema = jax.tree.map(lambda e, p: e * d + p * (1 - d),
+                                   state.ema_params, params)
+            else:
+                ema = state.ema_params
             new_state = TrainState(step=state.step + 1, params=params,
-                                   opt_state=opt_state, rng=rng)
+                                   opt_state=opt_state, rng=rng,
+                                   ema_params=ema)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             metrics = {'loss': loss, 'learning_rate': self.schedule(state.step),
                        'grad_norm': grad_norm, **binary_stats(probs, lab)}
@@ -284,11 +350,19 @@ class Trainer:
                 body, (state, nonfinite_count), idx_mat)
             return state, losses, gnorms, nonfinite_count
 
+        def eval_step_int8(qparams, scales, signals, labels, idx):
+            # weight-only int8 serving: dequant INSIDE the program, fused by
+            # XLA into each matmul's operand read (models/quantize.py)
+            from ..models.quantize import dequantize_params
+            return eval_step(dequantize_params(qparams, scales),
+                             signals, labels, idx)
+
         with self.mesh:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 4))
             self._multi_step = jax.jit(multi_step, donate_argnums=(0, 4))
             self._epoch_step = jax.jit(epoch_step, donate_argnums=(0, 4))
             self._eval_step = jax.jit(eval_step)
+            self._eval_step_int8 = jax.jit(eval_step_int8)
 
     # ------------------------------------------------------------------ loops
     def _index_batches(self, data: SplitData, batch_size: int, shuffle_rng=None,
@@ -569,7 +643,7 @@ class Trainer:
         probs, binary stats + macro/per-class AUROC."""
         if self._eval_step is None:
             self._build_steps()
-        params = self.state.params if self.state is not None else None
+        params = self._eval_params()
         assert params is not None, 'call init_state() or load a checkpoint first'
         assert len(data) > 0, \
             'evaluate() called on an empty split (e.g. a tiny corpus whose ' \
@@ -578,8 +652,7 @@ class Trainer:
         for take, n_real in self._index_batches(data, self.cfg.eval_batch_size,
                                                 drop_last=False):
             sigs, labs, idx = self._step_inputs(data, take)
-            with self.mesh:
-                loss, probs = self._eval_step(params, sigs, labs, idx)
+            loss, probs = self._run_eval_step(sigs, labs, idx)
             losses.append(np.asarray(loss)[:n_real])
             probs_all.append(np.asarray(probs)[:n_real])
             labels_all.append(data.labels[take[:n_real]])
@@ -599,6 +672,48 @@ class Trainer:
         if return_predictions:
             out['predictions'] = {'probs': probs_np, 'labels': labels_np}
         return out
+
+    def enable_int8_inference(self) -> Dict[str, float]:
+        """Quantize the served weights (the EMA tree when tracked) to int8
+        with per-output-channel scales; evaluate()/predict() then run the
+        dequant-fused program (models/quantize.py).  Returns the size
+        summary.  Call again after further training to re-snapshot."""
+        from ..models.quantize import quantize_params_int8, quantized_bytes
+        params = self._eval_params()
+        assert params is not None, 'call init_state() or load a checkpoint first'
+        rep = replicated(self.mesh)
+        with self.mesh:
+            qp, sc = quantize_params_int8(params)
+            qp = jax.tree.map(lambda a: jax.device_put(a, rep), qp)
+            sc = {k: jax.device_put(v, rep) for k, v in sc.items()}
+        self._int8 = (qp, sc)
+        before = quantized_bytes(params)
+        after = quantized_bytes(qp) + quantized_bytes(list(sc.values()))
+        summary = {'param_bytes_f32': before, 'param_bytes_int8': after,
+                   'compression': before / max(after, 1)}
+        self.logger.info(f'int8 inference enabled: {summary}')
+        return summary
+
+    def disable_int8_inference(self) -> None:
+        self._int8 = None
+
+    def _run_eval_step(self, sigs, labs, idx):
+        """One jitted eval dispatch -- int8-quantized program when enabled."""
+        with self.mesh:
+            if self._int8 is not None:
+                qp, sc = self._int8
+                return self._eval_step_int8(qp, sc, sigs, labs, idx)
+            return self._eval_step(self._eval_params(), sigs, labs, idx)
+
+    def _eval_params(self):
+        """Params used for evaluation/inference: the EMA weights when
+        cfg.ema_decay > 0 (the smoothing exists to be served), else the raw
+        trained params.  Early stopping therefore tracks EMA quality too."""
+        if self.state is None:
+            return None
+        if self.cfg.ema_decay > 0 and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
 
     def predict(self, signals: np.ndarray) -> np.ndarray:
         """Batch inference: per-record sigmoid probabilities (N, num_class).
@@ -620,8 +735,7 @@ class Trainer:
             sigs = jnp.asarray(data.signals[take], jnp.float32)
             labs = jnp.asarray(data.labels[take], jnp.float32)
             idx = jnp.arange(take.size, dtype=jnp.int32)
-            with self.mesh:
-                _, probs = self._eval_step(self.state.params, sigs, labs, idx)
+            _, probs = self._run_eval_step(sigs, labs, idx)
             probs_all.append(np.asarray(probs)[:n_real])
         return np.concatenate(probs_all)
 
@@ -686,7 +800,10 @@ class Trainer:
         with self.mesh:
             self.state = self.state.replace(
                 params=jax.tree.map(jax.device_put, self.state.params, pspec),
-                opt_state=jax.tree.map(jax.device_put, self.state.opt_state, osh))
+                opt_state=jax.tree.map(jax.device_put, self.state.opt_state, osh),
+                ema_params=(jax.tree.map(jax.device_put,
+                                         self.state.ema_params, pspec)
+                            if self.state.ema_params is not None else None))
         self.epoch = int(extra.get('epoch', 0))
         self._host_step = int(self.state.step)  # one sync at restore is fine
         return self.state
