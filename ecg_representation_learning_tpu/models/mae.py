@@ -124,7 +124,12 @@ class EcgMae(nn.Module):
         h = jnp.take_along_axis(h, ids_keep[:, :, None], axis=1)  # (B, V, H)
         from .vit import Block
         for i in range(cfg.num_hidden_layers):
-            h, _ = Block(cfg, name=f'encoder_block_{i}')(h, deterministic)
+            # same MoE placement rule as EcgVitEncoder, so a Switch trunk
+            # pretrains with its experts live (and transfers layer-for-layer)
+            use_moe = (cfg.moe_num_experts > 0
+                       and (i + 1) % cfg.moe_every == 0)
+            h, _ = Block(cfg, use_moe=use_moe,
+                         name=f'encoder_block_{i}')(h, deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name='encoder_norm')(h)
 
         # --- decoder over full sequence ---

@@ -132,6 +132,34 @@ def test_apply_with_moe_dense_passthrough():
         np.asarray(m.apply(params, x, deterministic=True).logits))
 
 
+def test_moe_reaches_pretrain_trunks(tmp_path):
+    # MAE and contrastive trunks build MoE blocks under the same placement
+    # rule -- a Switch trunk must pretrain with its experts live, and the
+    # trainers' aux loss must be nonzero
+    from ecg_representation_learning_tpu.configs import MaeConfig
+    from ecg_representation_learning_tpu.models.mae import EcgMae
+    cfg = tiny_cfg()
+    m = EcgMae(cfg, MaeConfig(decoder_num_layers=1, decoder_hidden_size=32,
+                              decoder_num_heads=2,
+                              decoder_intermediate_size=64))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 320))
+    variables = m.init({'params': rng, 'mask': rng}, x)
+    assert 'moe' in variables['params']['encoder_block_1']
+    assert 'mlp' in variables['params']['encoder_block_0']
+    out, mut = m.apply({'params': variables['params']}, x, deterministic=True,
+                       rngs={'mask': rng}, mutable=['moe'])
+    from ecg_representation_learning_tpu.models.moe import moe_aux_loss
+    assert float(moe_aux_loss(mut)) > 0.5
+
+    from ecg_representation_learning_tpu.models.contrastive import (
+        EcgContrastive)
+    from ecg_representation_learning_tpu.configs import ContrastiveConfig
+    cm = EcgContrastive(cfg, ContrastiveConfig(proj_hidden_size=16, proj_dim=8))
+    cv = cm.init({'params': rng}, x)
+    assert 'moe' in cv['params']['encoder']['block_1']
+
+
 def test_moe_trainer_expert_parallel_mesh(tmp_path):
     # end-to-end: EcgVit with Switch MoE blocks trains on a 4x2 DP x EP mesh;
     # expert stacks are physically sharded E/2-per-chip over 'model'
