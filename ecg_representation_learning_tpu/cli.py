@@ -366,6 +366,30 @@ def cmd_serve(args):
         httpd.shutdown()
 
 
+def cmd_export_model(args):
+    """Export the trained model as a portable StableHLO serving artifact
+    (models/export_artifact.py): normalization + pad + forward + sigmoid in
+    one program, weights embedded, symbolic batch."""
+    from .configs import TrainConfig
+    from .models.export_artifact import export_model
+    from .registry import PTBXL_TRAIN_STATS
+    from .train import Trainer
+    model_cfg = _model_cfg_for(args)
+    tr = Trainer(model_cfg, TrainConfig(),
+                 norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
+    tr.init_state()
+    _maybe_port(args, tr)
+    if args.checkpoint:
+        tr.load_checkpoint(args.checkpoint)
+    platforms = args.platforms.split(',') if args.platforms else None
+    meta = export_model(tr, args.out, signal_length=args.signal_length,
+                        int8=args.int8, platforms=platforms)
+    print(json.dumps({'out': args.out, 'bytes': meta['bytes'],
+                      'platforms': meta['platforms'],
+                      'signal_length': meta['wire']['signal_length'],
+                      'int8': meta['int8']}))
+
+
 def cmd_tokenize(args):
     import numpy as np
     from .models.tokenizer import EcgTokenizer
@@ -510,6 +534,27 @@ def main(argv=None):
     psv.add_argument('--host', default='127.0.0.1')
     psv.add_argument('--port', type=int, default=8000)
     psv.set_defaults(fn=cmd_serve)
+
+    pem = sub.add_parser('export-model',
+                         help='trained checkpoint -> self-contained StableHLO '
+                              'serving artifact (weights embedded; runs on '
+                              'any jax/XLA runtime without this package)')
+    _add_common_train_flags(pem)
+    pem.add_argument('--stats', default=None,
+                     choices=[None, 'original', 'denoised'])
+    pem.add_argument('--checkpoint', default=None)
+    pem.add_argument('--port-checkpoint', default=None, metavar='PT_FILE')
+    pem.add_argument('--int8', action='store_true',
+                     help='bake weight-only int8 tensors + dequant into the '
+                          'program (~4x smaller artifact)')
+    pem.add_argument('--signal-length', type=int, default=None,
+                     help='wire length L of requests (default: model input '
+                          'minus one patch)')
+    pem.add_argument('--platforms', default=None,
+                     help="comma-separated lowering targets, e.g. 'tpu,cpu' "
+                          '(default: this machine)')
+    pem.add_argument('--out', default='exported_model')
+    pem.set_defaults(fn=cmd_export_model)
 
     pt = sub.add_parser('tokenize')
     pt.add_argument('--hdf5', default=None)

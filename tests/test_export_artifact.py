@@ -1,0 +1,94 @@
+"""StableHLO serving-artifact tests (models/export_artifact.py): export a
+trained model, reload it from the two files alone, and check the program
+reproduces Trainer.predict bit-for-bit semantics (same normalize + pad +
+forward + sigmoid)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
+from ecg_representation_learning_tpu.models.export_artifact import (
+    ExportedModel, export_model)
+from ecg_representation_learning_tpu.train import Trainer
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory):
+    signals, labels, folds = synth_ptbxl(n=96, length=640)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    model_cfg = VitConfig.from_defined('debug', max_signal_length=704,
+                                       use_flash_attention=False)
+    tr = Trainer(model_cfg, TrainConfig(num_train_epoch=1, train_batch_size=32,
+                                        eval_batch_size=32, save_final=False,
+                                        do_eval=False),
+                 train_data=splits.train, eval_data=splits.eval,
+                 output_dir=str(tmp_path_factory.mktemp('exp')))
+    tr.train()
+    return tr, splits
+
+
+def test_export_roundtrip_parity(trained, tmp_path):
+    tr, splits = trained
+    path = str(tmp_path / 'artifact')
+    meta = export_model(tr, path)
+    assert os.path.exists(os.path.join(path, 'model.stablehlo'))
+    assert meta['wire']['signal_length'] == 640    # 704 - patch 64
+    assert meta['model_config']['num_class'] == tr.model_cfg.num_class
+
+    m = ExportedModel.load(path)
+    x = splits.test.signals[:8]
+    probs = m.predict(x)
+    ref = tr.predict(x)
+    assert probs.shape == ref.shape
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+    # symbolic batch: any request size runs through the one artifact
+    assert m.predict(x[:3]).shape == (3, tr.model_cfg.num_class)
+    one = m.predict(x[0])          # (C, L) single record
+    np.testing.assert_allclose(one, ref[:1], atol=1e-5)
+
+
+def test_export_short_record_padding(trained, tmp_path):
+    tr, splits = trained
+    path = str(tmp_path / 'artifact')
+    export_model(tr, path)
+    m = ExportedModel.load(path)
+    # a shorter record zero-pads to the wire length; the in-program
+    # time_end_pad then lands it where Trainer.predict would
+    short = splits.test.signals[:2, :, :500]
+    probs = m.predict(short)
+    assert probs.shape == (2, tr.model_cfg.num_class)
+    assert np.isfinite(probs).all() and (probs <= 1).all()
+    # too-long records are refused with windowing advice, not truncated
+    with pytest.raises(AssertionError, match='wire length'):
+        m.predict(np.zeros((1, 12, 4096), np.float32))
+
+
+def test_export_int8_artifact(trained, tmp_path):
+    tr, splits = trained
+    p32 = str(tmp_path / 'f32')
+    p8 = str(tmp_path / 'int8')
+    meta32 = export_model(tr, p32)
+    meta8 = export_model(tr, p8, int8=True)
+    # int8 weights embed ~4x smaller; the debug model is tiny so just
+    # require a real reduction
+    assert meta8['bytes'] < meta32['bytes'] * 0.55
+    m8 = ExportedModel.load(p8)
+    x = splits.test.signals[:8]
+    ref = tr.predict(x)
+    probs = m8.predict(x)
+    assert np.abs(probs - ref).max() < 0.05
+
+
+def test_export_metadata_classes(trained, tmp_path):
+    tr, _ = trained
+    path = str(tmp_path / 'artifact')
+    export_model(tr, path)
+    with open(os.path.join(path, 'metadata.json')) as f:
+        meta = json.load(f)
+    assert len(meta['classes']) == min(tr.model_cfg.num_class, 71)
+    assert all({'id', 'code', 'description'} <= set(c) for c in meta['classes'])
+    assert meta['norm_stats']['mean'] == [0.0] * 12
