@@ -13,7 +13,10 @@ Metrics (VERDICT round-2 directive #1 -- driver-verify the training claims):
   5. mae_stream_samples_per_sec -- MAE-base streaming pretrain step compute
      (75% mask, bs 64) with the fused 500->250 Hz prep inside the jitted step
      (BASELINE config 5 shape).
-  6. quality_macro_auroc + dress_seconds_per_epoch -- the REFERENCE-SCALE
+  6. infer_int8_batch1_ms + infer_int8_samples_per_sec -- the serving path
+     (the jitted predict/eval program with weight-only int8): batch-1 device
+     latency and bs-256 throughput.
+  7. quality_macro_auroc + dress_seconds_per_epoch -- the REFERENCE-SCALE
      dress rehearsal, driver-verified end to end: a 21,837 x 12 x 2500 hard
      synthetic corpus (overlapping marker bands, confounders, long-tailed
      prevalence -- data/datasets.py synth_ptbxl_device) is generated ON
@@ -189,6 +192,46 @@ def bench_mae_stream():
           samples_per_sec / sol)
 
 
+def bench_infer():
+    """Serving-side inference: the jitted eval/predict program (trainer.py
+    _eval_step -- the same program `cli serve`/`predict()` dispatch), ViT-base,
+    weight-only int8 (models/quantize.py).  Batch-1 device latency is the
+    server's worst case; bs-256 is the batched-throughput case.  vs_baseline
+    for latency is the f32 latency ratio (the quantization win, >1 = faster);
+    for throughput it is the fraction of the forward-FLOP speed of light."""
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.models.vit import forward_flops_per_sample
+    from ecg_representation_learning_tpu.train.trainer import Trainer
+
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+    tr = Trainer(model_cfg, TrainConfig(do_eval=False),
+                 output_dir='/tmp/bench-infer')
+    tr.init_state()
+    tr._build_steps()
+    rng = np.random.default_rng(0)
+
+    def leg(bsz, n_lo=4, n_hi=24):
+        x = rng.standard_normal((bsz, 12, 2500)).astype(np.float32)
+        labs = jnp.zeros((bsz, model_cfg.num_class), jnp.float32)
+        idx = jnp.arange(bsz, dtype=jnp.int32)
+        sig_bufs = [jnp.asarray(x + np.float32(i)) for i in range(2)]
+
+        def run(sigs):
+            _, probs = tr._run_eval_step(sigs, labs, idx)
+            return probs
+        return _per_iter_seconds(run, sig_bufs, n_lo=n_lo, n_hi=n_hi)
+
+    f32_b1 = leg(1)
+    tr.enable_int8_inference()
+    i8_b1 = leg(1)
+    i8_thru = leg(256)
+    _emit('infer_int8_batch1_ms', i8_b1 * 1e3, 'ms', f32_b1 / i8_b1)
+    sol = PEAK_FLOPS / forward_flops_per_sample(model_cfg)
+    _emit('infer_int8_samples_per_sec', 256 / i8_thru, 'samples/s',
+          (256 / i8_thru) / sol)
+
+
 def bench_quality_dress():
     """Reference-scale train->eval quality gate (runs last: ~3-4 min)."""
     import jax.numpy as jnp
@@ -249,6 +292,7 @@ def main():
     bench_train()
     bench_denoise()
     bench_mae_stream()
+    bench_infer()
     bench_quality_dress()
 
 
