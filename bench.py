@@ -129,6 +129,51 @@ def bench_train():
     _emit('train_vitbase_samples_per_sec', samples_per_sec, 'samples/s',
           samples_per_sec / sol)
     _emit('train_mfu', mfu, 'fraction', mfu)
+    return samples_per_sec
+
+
+def bench_moe(dense_samples_per_sec: float):
+    """Expert scaling: the same ViT-base train step with 8 Switch experts in
+    every 2nd block (models/moe.py) -- 284M params vs the dense 86M (3.3x)
+    at top-1 routing, so per-token MLP FLOPs are ~unchanged while the
+    expert weights and Adam moments stream 3.3x the optimizer bytes.
+    vs_baseline = fraction of the DENSE step's throughput retained while
+    training the 3.3x model (the expert-scaling efficiency; ~0.57 measured,
+    i.e. 3.3x params for 1.75x step time on one chip -- on a pod the expert
+    stacks shard over 'model' and the retention rises with E/n_model)."""
+    import jax
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.train.trainer import SplitData, Trainer
+
+    bsz = 64
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16',
+                                       moe_num_experts=8, moe_every=2)
+    cfg = TrainConfig(train_batch_size=bsz, do_eval=False)
+    rng = np.random.default_rng(0)
+    n = 512
+    data = SplitData(
+        signals=rng.standard_normal((n, 12, 2500)).astype(np.float32),
+        labels=(rng.uniform(size=(n, 71)) > 0.9).astype(np.float32))
+    tr = Trainer(model_cfg, cfg, train_data=data, output_dir='/tmp/bench-moe')
+    tr.init_state()
+    tr._build_steps()
+
+    sigs, labs, _ = tr._step_inputs(data, np.arange(bsz))
+    idxs = [jnp.asarray(rng.integers(0, n, bsz).astype(np.int32))
+            for _ in range(2)]
+    state = {'s': tr.state, 'nf': jnp.zeros((), jnp.int32)}
+
+    def run(idx):
+        with tr.mesh:
+            state['s'], metrics, _, state['nf'] = tr._train_step(
+                state['s'], sigs, labs, idx, state['nf'])
+        return metrics['loss']
+
+    per_iter = _per_iter_seconds(run, idxs)
+    samples_per_sec = bsz / per_iter
+    _emit('moe8_train_samples_per_sec', samples_per_sec, 'samples/s',
+          samples_per_sec / dense_samples_per_sec)
 
 
 def bench_denoise():
