@@ -331,14 +331,30 @@ def bench_quality_dress():
 
 
 def main():
+    import sys
+    import traceback
+
     from ecg_representation_learning_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
-    bench_preprocess()
-    bench_train()
-    bench_denoise()
-    bench_mae_stream()
-    bench_infer()
-    bench_quality_dress()
+
+    def leg(fn, *a):
+        # one failing leg (e.g. a remote-compile rejection) must not cost the
+        # remaining metrics; the error goes to stderr, never to the JSON stream
+        try:
+            return fn(*a)
+        except Exception:
+            print(f'[bench] {fn.__name__} failed:\n{traceback.format_exc()}',
+                  file=sys.stderr)
+            return None
+
+    leg(bench_preprocess)
+    dense_sps = leg(bench_train)
+    if dense_sps:
+        leg(bench_moe, dense_sps)
+    leg(bench_denoise)
+    leg(bench_mae_stream)
+    leg(bench_infer)
+    leg(bench_quality_dress)
 
 
 if __name__ == '__main__':

@@ -224,6 +224,12 @@ def cmd_pretrain(args):
     from .registry import PTBXL_TRAIN_STATS
     from .train.contrastive import ContrastiveTrainer
     from .train.pretrain import MaeTrainer
+    if args.grad_accum > 1 or args.ema_decay > 0:
+        # the pretrainers implement neither; failing beats silently ignoring
+        # a flag the user set to fit memory / smooth weights
+        raise SystemExit('--grad-accum/--ema-decay apply to `train` only '
+                         '(the MAE/contrastive pretrainers do not implement '
+                         'them)')
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
     cfg = TrainConfig(
@@ -257,7 +263,11 @@ def cmd_evaluate(args):
     from .train.evaluate import evaluate_trained
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
-    tr = Trainer(model_cfg, TrainConfig(), train_data=None, eval_data=splits.eval,
+    # ema_decay threads through so a --ema-decay-trained checkpoint's EMA
+    # weights are restored and served (TrainConfig(ema_decay=0) would drop
+    # them and silently evaluate the raw params)
+    tr = Trainer(model_cfg, TrainConfig(ema_decay=args.ema_decay),
+                 train_data=None, eval_data=splits.eval,
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     _maybe_port(args, tr)
@@ -286,7 +296,8 @@ def cmd_visualize(args):
     from .utils import EcgVitVisualizer
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
-    tr = Trainer(model_cfg, TrainConfig(), eval_data=splits.eval,
+    tr = Trainer(model_cfg, TrainConfig(ema_decay=args.ema_decay),
+                 eval_data=splits.eval,
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     if args.checkpoint:
@@ -315,7 +326,8 @@ def cmd_infer(args):
     from .train import Trainer
     model_cfg = _model_cfg_for(args)
     sigs = EcgDataset(args.hdf5).load()
-    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size),
+    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size,
+                                        ema_decay=args.ema_decay),
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     _maybe_port(args, tr)
@@ -349,7 +361,8 @@ def cmd_serve(args):
     from .serving import serve
     from .train import Trainer
     model_cfg = _model_cfg_for(args)
-    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size),
+    tr = Trainer(model_cfg, TrainConfig(eval_batch_size=args.batch_size,
+                                        ema_decay=args.ema_decay),
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     _maybe_port(args, tr)
@@ -375,7 +388,7 @@ def cmd_export_model(args):
     from .registry import PTBXL_TRAIN_STATS
     from .train import Trainer
     model_cfg = _model_cfg_for(args)
-    tr = Trainer(model_cfg, TrainConfig(),
+    tr = Trainer(model_cfg, TrainConfig(ema_decay=args.ema_decay),
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     _maybe_port(args, tr)

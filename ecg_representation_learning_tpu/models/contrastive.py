@@ -19,22 +19,12 @@ models/ecg_tokenizer.py).  This module supplies it TPU-first:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..configs import ContrastiveConfig, VitConfig
 from .vit import EcgVitEncoder, _dtype
-
-
-@dataclasses.dataclass
-class ContrastiveOutput:
-    loss: jnp.ndarray
-    projections: Optional[jnp.ndarray] = None   # (2B, proj_dim), L2-normalized
-    accuracy: Optional[jnp.ndarray] = None      # top-1 positive retrieval rate
 
 
 class EcgContrastive(nn.Module):

@@ -185,9 +185,11 @@ class ExportedModel:
 
     def predict(self, signals: np.ndarray) -> np.ndarray:
         """Raw (N, C, L) or (C, L) float32 -> (N, num_class) probabilities.
-        Shorter records are zero-padded to the wire length (the program
-        z-normalizes per-lead first, so trailing zeros are the same
-        'quiet tail' padding training saw via time_end_pad)."""
+        Shorter records are padded to the wire length with the per-lead
+        normalization MEAN: the program z-normalizes before its own
+        time_end_pad, so mean-valued samples normalize to exactly the zero
+        tail training saw (raw zeros would become -mean/std under non-zero
+        stats, e.g. --stats original)."""
         sig = np.asarray(signals, np.float32)
         if sig.ndim == 2:
             sig = sig[None]
@@ -198,5 +200,9 @@ class ExportedModel:
             f'record length {sig.shape[2]} > wire length {L}: window it ' \
             f'(Trainer.predict_long) or re-export with a larger signal_length'
         if sig.shape[2] < L:
-            sig = np.pad(sig, [(0, 0), (0, 0), (0, L - sig.shape[2])])
+            mean = np.asarray(self.metadata['norm_stats']['mean'],
+                              np.float32).reshape(1, -1, 1)
+            tail = np.broadcast_to(
+                mean, (sig.shape[0], sig.shape[1], L - sig.shape[2]))
+            sig = np.concatenate([sig, tail], axis=2)
         return np.asarray(self.exported.call(sig, *self.weights))

@@ -29,6 +29,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs import VitConfig
 
@@ -63,7 +64,10 @@ class MoeMlp(nn.Module):
                  reduce_fn=lambda a, b: a + b, init_fn=lambda: jnp.float32(0))
 
         # --- capacity + dispatch/combine tensors ------------------------------
-        cap = max(1, -(-int(cfg.moe_capacity_factor * s) // e))  # ceil, static
+        # ceil(cf * S / E), static; the int() must come AFTER the division --
+        # truncating cf*S first shorts the buffer one slot whenever
+        # floor(cf*S) crosses down past a multiple of E
+        cap = max(1, int(np.ceil(cfg.moe_capacity_factor * s / e)))
         # position of each token within its expert's buffer (0-based)
         pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot                # (S,E)
         pos_in_expert = pos.sum(axis=-1)                                 # (S,)

@@ -164,7 +164,10 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         if _tree_shapes(raw.get('opt_state')) == _tree_shapes(template['opt_state']):
             if not (ema_missing or ema_extra):
                 raise  # params AND opt_state match -- the failure is something else
-            opt = raw['opt_state']
+            # the raw restore returns plain nested dicts where the live state
+            # has tuples/namedtuples (FusedAdamWState, optax chains): rebuild
+            # the template's container types so training can resume on it
+            opt = _restructure_like(template['opt_state'], raw['opt_state'])
         else:
             migrated = _migrate_adam_state(raw.get('opt_state'),
                                            template['opt_state'],
@@ -204,6 +207,34 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         with open(meta) as f:
             extra = json.load(f)
     return state, extra
+
+
+def _raw_child(raw, key):
+    """Fetch a child from orbax's raw-restored tree, which renders sequences
+    either as lists or as dicts keyed by stringified indices/fields."""
+    if isinstance(raw, dict):
+        return raw[key] if key in raw else raw[str(key)]
+    return raw[key]  # a genuine list index
+
+
+def _restructure_like(template, raw):
+    """Rebuild ``raw`` (orbax's template-free restore: plain nested dicts /
+    lists) into ``template``'s container types (tuples, optax namedtuples,
+    FusedAdamWState).  Leaf values come from ``raw``; the caller must have
+    verified structural/shape agreement (``_tree_shapes`` equality) first."""
+    fields = getattr(type(template), '_fields', None)
+    if fields is not None:   # namedtuple (optimizer states)
+        return type(template)(*(
+            _restructure_like(getattr(template, f), _raw_child(raw, f))
+            for f in fields))
+    if isinstance(template, dict):
+        return {k: _restructure_like(v, _raw_child(raw, k))
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return type(template)(
+            _restructure_like(v, _raw_child(raw, i))
+            for i, v in enumerate(template))
+    return raw   # leaf
 
 
 def _find_adam_subtree(raw_opt, param_shapes):

@@ -169,8 +169,9 @@ class ContrastiveTrainer(MaeTrainer):
         # with duplicate rows); one extra jit specialization at most
         bsz = min(self.cfg.eval_batch_size, len(data))
         assert bsz >= 4, (
-            f'contrastive eval needs >=4 rows for a meaningful negative '
-            f'pool (got {len(data)})')
+            f'contrastive eval needs a batch of >=4 for a meaningful '
+            f'negative pool (got batch {bsz} = min(eval_batch_size='
+            f'{self.cfg.eval_batch_size}, split rows {len(data)}))')
         rng = jax.random.PRNGKey(seed)
         losses = []
         for i in range(0, len(data) - bsz + 1, bsz):

@@ -151,6 +151,12 @@ class PipelineVitTrainer:
                  output_dir: Optional[str] = None, mesh: Optional[Mesh] = None):
         assert model_cfg.scan_blocks, 'pipeline staging needs the stacked layout'
         assert train_cfg.mesh_stage > 1, 'use Trainer for mesh_stage == 1'
+        if train_cfg.grad_accum > 1 or train_cfg.ema_decay > 0:
+            raise NotImplementedError(
+                'grad_accum/ema_decay are not implemented on the pipeline '
+                'trainer (microbatching already splits the batch; EMA lives '
+                'on the plain Trainer) -- unset them rather than silently '
+                'ignoring them')
         self.model_cfg, self.cfg = model_cfg, train_cfg
         self.model = EcgVit(model_cfg)
         self.train_data, self.eval_data = train_data, eval_data

@@ -43,6 +43,11 @@ class MaeTrainer:
         output_dir: Optional[str] = None,
         mesh=None,
     ):
+        if train_cfg.grad_accum > 1 or train_cfg.ema_decay > 0:
+            raise NotImplementedError(
+                'grad_accum/ema_decay are supervised-Trainer features; the '
+                'pretrainers run full batches and serve raw params -- unset '
+                'them rather than silently ignoring them')
         self.model_cfg, self.mae_cfg, self.cfg = model_cfg, mae_cfg, train_cfg
         self.model = EcgMae(model_cfg, mae_cfg)
         self.train_data, self.eval_data = train_data, eval_data

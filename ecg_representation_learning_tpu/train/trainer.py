@@ -195,9 +195,23 @@ class Trainer:
         params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s), params, pspec)
         self._finalize_optimizer(params)
-        self.state = self.state.replace(params=params,
-                                        opt_state=self.optimizer.init(params))
+        self.state = self.state.replace(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            # re-seed the EMA: leaving it on the discarded init weights would
+            # make every eval/early-stop/best-ckpt decision score near-random
+            # params for ~1/(1-decay) steps
+            ema_params=(jax.tree.map(jnp.copy, params)
+                        if self.state.ema_params is not None else None))
+        self._refresh_int8()
         return self.state
+
+    def _refresh_int8(self) -> None:
+        """Re-quantize the int8 inference snapshot after a weight swap
+        (set_params/load_checkpoint) so quantized serving never dispatches
+        stale weights."""
+        if self._int8 is not None:
+            self.enable_int8_inference()
 
     def _build_steps(self):
         import contextlib
@@ -806,6 +820,7 @@ class Trainer:
                             if self.state.ema_params is not None else None))
         self.epoch = int(extra.get('epoch', 0))
         self._host_step = int(self.state.step)  # one sync at restore is fine
+        self._refresh_int8()
         return self.state
 
     # ----------------------------------------------------------------- logging

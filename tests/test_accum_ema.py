@@ -90,6 +90,30 @@ def test_ema_checkpoint_layout_skew(tmp_path):
     for a, b in zip(jax.tree.leaves(tr_back.state.params),
                     jax.tree.leaves(tr_ema.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 'resume cleanly' means TRAINING resumes: the skewed-restore fallback
+    # must rebuild the opt_state in the live optimizer's container types
+    # (the raw orbax restore returns plain dicts -- a dict opt_state crashes
+    # the first step's state.count access)
+    from ecg_representation_learning_tpu.train.optim import FusedAdamWState
+    assert isinstance(tr_back.state.opt_state, FusedAdamWState)
+    assert isinstance(tr_ema.state.opt_state, FusedAdamWState)
+    tr_back.train()
+    tr_ema2, _ = setup(tmp_path, 'into_ema2', ema_decay=0.99)
+    tr_ema2.load_checkpoint(p_old)
+    tr_ema2.train()
+
+
+def test_set_params_reseeds_ema(tmp_path):
+    # transfer-learning handoff (--init-encoder/--port-checkpoint): the EMA
+    # must follow the installed weights, not keep averaging the discarded
+    # random init (which would score evals on near-random params)
+    tr, _ = setup(tmp_path, 'handoff', ema_decay=0.999)
+    tr.init_state()
+    new = jax.tree.map(lambda a: np.asarray(a) + 1.0, tr.state.params)
+    tr.set_params(new)
+    for a, b in zip(jax.tree.leaves(tr.state.ema_params),
+                    jax.tree.leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_ema_off_adds_no_state(tmp_path):

@@ -67,6 +67,30 @@ def test_export_short_record_padding(trained, tmp_path):
         m.predict(np.zeros((1, 12, 4096), np.float32))
 
 
+def test_export_short_record_nonzero_mean_stats(trained, tmp_path):
+    # with non-zero per-lead means (--stats original) the host-side pad must
+    # use the MEAN, not raw zeros: the program normalizes BEFORE its own
+    # time_end_pad, so only mean-valued samples land as the zero tail
+    # training saw (raw zeros would become -mean/std)
+    tr, splits = trained
+    stats = {'mean': [0.5 + 0.05 * i for i in range(12)],
+             'std': [0.2 + 0.01 * i for i in range(12)]}
+    tr2 = Trainer(tr.model_cfg, TrainConfig(), norm_stats=stats,
+                  output_dir=str(tmp_path / 'tr2'))
+    tr2.init_state()
+    tr2.set_params(tr.state.params)
+    path = str(tmp_path / 'artifact-stats')
+    export_model(tr2, path)
+    m = ExportedModel.load(path)
+    short = splits.test.signals[:2, :, :500]
+    # ground truth: extend the record to the wire length with the per-lead
+    # mean by hand -- predict() must do exactly this internally
+    mean = np.asarray(stats['mean'], np.float32).reshape(1, 12, 1)
+    full = np.concatenate(
+        [short, np.broadcast_to(mean, (2, 12, m.signal_length - 500))], axis=2)
+    np.testing.assert_allclose(m.predict(short), m.predict(full), atol=1e-6)
+
+
 def test_export_int8_artifact(trained, tmp_path):
     tr, splits = trained
     p32 = str(tmp_path / 'f32')

@@ -82,6 +82,26 @@ def test_moe_capacity_overflow_drops_to_zero():
     assert (kept_norms > 1e-4).all()
 
 
+def test_moe_capacity_ceil_not_truncated():
+    # cap must be ceil(cf*S/E) -- int(cf*S) BEFORE the division shorts the
+    # buffer whenever floor(cf*S) crosses down past a multiple of E.
+    # cf=0.45, S=10, E=2: correct cap = ceil(4.5/2) = 3; the truncating
+    # formula gives ceil(int(4.5)/2) = 2.  Route everything to expert 0
+    # (zeroed router -> argmax ties break to index 0): token 2 must be KEPT
+    # (pos 2 < 3) and token 3 dropped (pos 3 >= 3).
+    cfg = tiny_cfg(moe_num_experts=2, moe_capacity_factor=0.45,
+                   hidden_dropout_prob=0.0)
+    mod = MoeMlp(cfg)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (1, 10, cfg.hidden_size))
+    p = mod.init({'params': rng}, x, deterministic=True)['params']
+    p = dict(p, router={'kernel': jnp.zeros_like(p['router']['kernel'])})
+    y = np.asarray(mod.apply({'params': p}, x, deterministic=True))[0]
+    assert np.linalg.norm(y[2]) > 1e-4, \
+        'token 2 dropped: capacity was truncated below ceil(cf*S/E)'
+    np.testing.assert_allclose(y[3], 0.0, atol=1e-6)
+
+
 def test_moe_vit_grad_and_aux_loss():
     cfg = tiny_cfg()
     m = EcgVit(cfg)

@@ -60,3 +60,27 @@ def test_int8_predict_matches_f32(tmp_path):
     ev_f = tr.evaluate(splits.eval)
     if ev_f['macro_auc'] is not None:
         assert abs(ev_q['macro_auc'] - ev_f['macro_auc']) < 0.02
+
+
+def test_int8_refreshes_on_weight_swap(tmp_path):
+    # set_params / load_checkpoint must re-quantize the int8 snapshot --
+    # a stale snapshot would silently keep serving the pre-swap model
+    tr, splits = make_trainer(tmp_path)
+    x = splits.test.signals[:4]
+    tr.enable_int8_inference()
+    probs_old = tr.predict(x)
+    zeroed = jax.tree.map(lambda a: np.zeros_like(np.asarray(a)),
+                          tr.state.params)
+    tr.set_params(zeroed)
+    probs_new = tr.predict(x)
+    # an all-zero model emits sigmoid(0) = 0.5 everywhere; the stale
+    # snapshot would reproduce probs_old instead
+    np.testing.assert_allclose(probs_new, 0.5, atol=1e-3)
+    assert np.abs(probs_old - 0.5).max() > 0.01
+
+    path = tr.save_checkpoint(tag='zeroed')
+    tr2, _ = make_trainer(tmp_path)
+    tr2.output_dir = str(tmp_path / 'q2')
+    tr2.enable_int8_inference()
+    tr2.load_checkpoint(path)
+    np.testing.assert_allclose(tr2.predict(x), 0.5, atol=1e-3)
