@@ -42,9 +42,14 @@ import numpy as np
 PEAK_FLOPS = 197e12
 
 
+_EMITTED: dict = {}   # metric -> record; replayed in the final composite line
+
+
 def _emit(metric: str, value: float, unit: str, vs_baseline: float):
-    print(json.dumps({'metric': metric, 'value': round(value, 4),
-                      'unit': unit, 'vs_baseline': round(vs_baseline, 4)}))
+    rec = {'metric': metric, 'value': round(value, 4),
+           'unit': unit, 'vs_baseline': round(vs_baseline, 4)}
+    _EMITTED[metric] = rec
+    print(json.dumps(rec))
 
 
 def _timed_iters(run, inputs, n_iters: int) -> float:
@@ -355,6 +360,17 @@ def main():
     leg(bench_mae_stream)
     leg(bench_infer)
     leg(bench_quality_dress)
+
+    # The driver records the LAST emitted line as the round's headline
+    # (VERDICT r3 weak #8): emit a FIXED, round-over-round-comparable metric
+    # last -- the supervised train throughput -- carrying every other metric
+    # in an `all` payload so nothing is lost to the parse rule.
+    head = _EMITTED.get('train_vitbase_samples_per_sec')
+    if head is None and _EMITTED:           # train leg failed: fall back
+        head = next(iter(_EMITTED.values()))
+    if head is not None:
+        print(json.dumps({**head, 'all': sorted(_EMITTED.values(),
+                                                key=lambda r: r['metric'])}))
 
 
 if __name__ == '__main__':

@@ -121,6 +121,19 @@ def _model_cfg_for(args):
     return cfg
 
 
+def _load_ckpt(tr, args):
+    """Restore --checkpoint and surface a silent EMA drop: a checkpoint that
+    carries ema_params restored without --ema-decay serves the RAW weights,
+    which changes served accuracy with only a buried logger warning."""
+    import sys
+    tr.load_checkpoint(args.checkpoint)
+    if getattr(tr, 'last_restore_info', {}).get('dropped_ema'):
+        print(f'[hint] {args.checkpoint} contains EMA weights but '
+              f'--ema-decay was not given: serving the RAW params. '
+              f'Pass --ema-decay (e.g. the training value) to serve the '
+              f'EMA weights instead.', file=sys.stderr)
+
+
 def _maybe_port(args, trainer):
     """Install a reference torch state_dict into the trainer if requested."""
     if getattr(args, 'port_checkpoint', None):
@@ -272,7 +285,7 @@ def cmd_evaluate(args):
     tr.init_state()
     _maybe_port(args, tr)
     if args.checkpoint:
-        tr.load_checkpoint(args.checkpoint)
+        _load_ckpt(tr, args)
     results = evaluate_trained(tr, {'eval': splits.eval, 'test': splits.test},
                                out_dir=args.out)
     if getattr(args, 'pick_edge_samples', False):
@@ -301,7 +314,7 @@ def cmd_visualize(args):
                  norm_stats=PTBXL_TRAIN_STATS[args.stats] if args.stats else None)
     tr.init_state()
     if args.checkpoint:
-        tr.load_checkpoint(args.checkpoint)
+        _load_ckpt(tr, args)
     data = {'eval': splits.eval, 'test': splits.test}[args.split]
     sig = np.asarray(data.signals[args.index], np.float32)
     # apply the same normalize+pad the model expects
@@ -310,7 +323,9 @@ def cmd_visualize(args):
     sig = (sig - mean) / std
     n_pad = model_cfg.patch_size - (sig.shape[-1] % model_cfg.patch_size)
     sig = np.pad(sig, [(0, 0), (0, n_pad)])[:, :model_cfg.max_signal_length]
-    viz = EcgVitVisualizer(tr.model, tr.state.params)
+    # _eval_params resolves to the EMA weights when --ema-decay was given --
+    # the visualized attention must come from the weights actually served
+    viz = EcgVitVisualizer(tr.model, tr._eval_params())
     path = viz(sig, data.labels[args.index], save=True)
     print(json.dumps({'figure': path}))
 
@@ -332,7 +347,7 @@ def cmd_infer(args):
     tr.init_state()
     _maybe_port(args, tr)
     if args.checkpoint:
-        tr.load_checkpoint(args.checkpoint)
+        _load_ckpt(tr, args)
     if args.int8:
         tr.enable_int8_inference()
     # predict_long: records longer than the model input are auto-windowed
@@ -367,7 +382,7 @@ def cmd_serve(args):
     tr.init_state()
     _maybe_port(args, tr)
     if args.checkpoint:
-        tr.load_checkpoint(args.checkpoint)
+        _load_ckpt(tr, args)
     if args.int8:
         tr.enable_int8_inference()
     httpd = serve(tr, host=args.host, port=args.port)
@@ -393,7 +408,7 @@ def cmd_export_model(args):
     tr.init_state()
     _maybe_port(args, tr)
     if args.checkpoint:
-        tr.load_checkpoint(args.checkpoint)
+        _load_ckpt(tr, args)
     platforms = args.platforms.split(',') if args.platforms else None
     meta = export_model(tr, args.out, signal_length=args.signal_length,
                         int8=args.int8, platforms=platforms)

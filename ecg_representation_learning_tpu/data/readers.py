@@ -40,6 +40,7 @@ class WfdbSignalSpec:
     init_value: int
     description: str
     byte_offset: int = 0
+    checksum: Optional[int] = None   # signed 16-bit sum of digital samples
 
 
 @dataclasses.dataclass
@@ -96,14 +97,22 @@ def read_header(hea_path: str) -> WfdbHeader:
             init_value=int(m.group('initval') or 0),
             description=(m.group('desc') or '').strip(),
             byte_offset=int(m.group('offset') or 0),
+            checksum=(int(m.group('checksum'))
+                      if m.group('checksum') is not None else None),
         ))
     return WfdbHeader(record_name=name, n_sig=n_sig, fs=fs,
                       n_samples=n_samples, signals=sigs)
 
 
 def _decode_fmt212(raw: bytes, n_values: int) -> np.ndarray:
-    """Unpack WFDB format 212: 2 12-bit samples per 3 bytes."""
+    """Unpack WFDB format 212: 2 12-bit samples per 3 bytes.
+
+    An odd sample count leaves a trailing 2-byte group (the file holds
+    ``ceil(1.5 * n)`` bytes, signal(5)); pad to a full triplet so the final
+    sample is decoded instead of silently dropped."""
     b = np.frombuffer(raw, np.uint8)
+    if b.size % 3:
+        b = np.concatenate([b, np.zeros(3 - b.size % 3, np.uint8)])
     n_triplets = b.size // 3
     b = b[:n_triplets * 3].reshape(-1, 3).astype(np.int32)
     first = ((b[:, 1] & 0x0F) << 8) | b[:, 0]
@@ -140,11 +149,17 @@ def _decode_fmt(raw: bytes, fmt: int, n_values: int) -> np.ndarray:
 _NAN_SENTINEL = {16: -32768, 212: -2048, 80: -128, 32: -(1 << 31), 24: -(1 << 23)}
 
 
-def read_record(path_no_ext: str, physical: bool = True) -> Tuple[np.ndarray, WfdbHeader]:
+def read_record(path_no_ext: str, physical: bool = True,
+                verify_checksum: bool = False) -> Tuple[np.ndarray, WfdbHeader]:
     """Read one WFDB record -> ((n_sig, n_samples) array, header).
 
     Physical units: (digital - baseline) / gain, like wfdb.rdsamp's p_signal
     (transposed to leads-first as the reference's fnm2sigs does).
+
+    ``verify_checksum=True`` additionally checks each signal's header
+    checksum field (the signed 16-bit sum of its digital samples, header(5))
+    against the decoded data and raises ``ValueError`` on mismatch -- an
+    end-to-end guard over the byte decode.
 
     Handles the full signal-line dtype spec the registry corpora use
     (reference path: wfdb.rdsamp at util/ecg.py:202-217):
@@ -184,6 +199,14 @@ def read_record(path_no_ext: str, physical: bool = True) -> Tuple[np.ndarray, Wf
             spec = hdr.signals[sig_idx]
             d = frames[:, col:col + spf]  # (n_frames, spf)
             col += spf
+            if verify_checksum and spec.checksum is not None:
+                got = int(d.astype(np.int64).sum()) & 0xFFFF
+                want = spec.checksum & 0xFFFF
+                if got != want:
+                    raise ValueError(
+                        f'{path_no_ext}: checksum mismatch on signal '
+                        f'{sig_idx} ({spec.description!r}): header '
+                        f'{spec.checksum} vs decoded sum {got} (mod 2^16)')
             if physical:
                 p = (d.astype(np.float32) - spec.baseline) / spec.gain
                 if sentinel is not None:

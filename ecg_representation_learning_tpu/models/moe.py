@@ -66,8 +66,10 @@ class MoeMlp(nn.Module):
         # --- capacity + dispatch/combine tensors ------------------------------
         # ceil(cf * S / E), static; the int() must come AFTER the division --
         # truncating cf*S first shorts the buffer one slot whenever
-        # floor(cf*S) crosses down past a multiple of E
-        cap = max(1, int(np.ceil(cfg.moe_capacity_factor * s / e)))
+        # floor(cf*S) crosses down past a multiple of E.  round() first kills
+        # float artifacts (1.1*100/10 = 11.000000000000002 would ceil to 12,
+        # over-allocating a dispatch/combine slot)
+        cap = max(1, int(np.ceil(round(cfg.moe_capacity_factor * s / e, 6))))
         # position of each token within its expert's buffer (0-based)
         pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot                # (S,E)
         pos_in_expert = pos.sum(axis=-1)                                 # (S,)

@@ -138,6 +138,7 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree.map(np.asarray, _to_pytree(like_state))
+    dropped_ema = False   # surfaced in ``extra`` so callers (CLI) can hint
     try:
         restored = ckptr.restore(path, template)
     except Exception:
@@ -161,7 +162,22 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
         if ema_extra:
             log.warning('checkpoint %s carries EMA params this trainer does '
                         'not track (ema_decay=0); dropping them', path)
-        if _tree_shapes(raw.get('opt_state')) == _tree_shapes(template['opt_state']):
+            dropped_ema = True
+        opt_shapes_match = (_tree_shapes(raw.get('opt_state'))
+                            == _tree_shapes(template['opt_state']))
+        # shapes alone are not enough to restructure in place: an EMA-layout-
+        # skewed checkpoint saved under a different mu_dtype would silently
+        # install mismatched-dtype Adam moments (donated-step recompile +
+        # changed moment HBM footprint) -- _migrate_adam_state below already
+        # bails on dtype skew, so this path must too
+        if opt_shapes_match and (_tree_dtypes(raw.get('opt_state'))
+                                 != _tree_dtypes(template['opt_state'])):
+            log.warning(
+                'optimizer state in %s matches this trainer in shape but not '
+                'dtype (e.g. a different adam_mu_dtype); reinitializing the '
+                'optimizer instead of installing mismatched moments', path)
+            opt_shapes_match = False
+        if opt_shapes_match:
             if not (ema_missing or ema_extra):
                 raise  # params AND opt_state match -- the failure is something else
             # the raw restore returns plain nested dicts where the live state
@@ -206,6 +222,8 @@ def restore_checkpoint(path: str, like_state) -> Tuple[Any, Dict[str, Any]]:
     if os.path.exists(meta):
         with open(meta) as f:
             extra = json.load(f)
+    if dropped_ema:
+        extra['dropped_ema'] = True
     return state, extra
 
 

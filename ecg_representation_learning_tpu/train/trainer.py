@@ -807,6 +807,9 @@ class Trainer:
         if self.state is None:
             self.init_state()
         self.state, extra = restore_checkpoint(path, self.state)
+        # exposed so the CLI can hint at --ema-decay when a checkpoint's EMA
+        # weights were dropped because this trainer does not track them
+        self.last_restore_info = extra
         # restore materializes host arrays: re-place on the mesh so FSDP/TP
         # shardings survive a resume
         pspec = param_shardings(self.state.params, self.mesh, fsdp=self.cfg.fsdp)

@@ -42,6 +42,14 @@ void decode_fmt212(const uint8_t* raw, int64_t n_bytes, int32_t* out, int64_t n_
         out[v++] = s0;
         if (v < n_values) out[v++] = s1;
     }
+    // odd sample count: the file ends with a 2-byte group holding one final
+    // sample (total ceil(1.5*n) bytes, signal(5)) -- decode, don't drop it
+    if (v < n_values && n_bytes - 3 * n_triplets >= 2) {
+        const uint8_t* b = raw + 3 * n_triplets;
+        int32_t s0 = ((b[1] & 0x0F) << 8) | b[0];
+        if (s0 > 2047) s0 -= 4096;
+        out[v++] = s0;
+    }
 }
 
 void decode_fmt16(const uint8_t* raw, int64_t n_bytes, int32_t* out, int64_t n_values) {
