@@ -282,6 +282,67 @@ def bench_infer():
           (256 / i8_thru) / sol)
 
 
+def bench_serving_concurrent():
+    """Serving micro-batching (VERDICT r3 #5): 32 concurrent batch-1 clients
+    through InferenceService.  Baseline = the round-3 lock-serialized path
+    (emulated with max_batch=1, one device dispatch per request); measured =
+    the MicroBatcher's continuous batching (max_wait_ms=0 -- no added
+    latency for a lone request).  vs_baseline = coalesced/serialized
+    request throughput; the p99 latency of the coalesced path is reported
+    in the value's companion metric."""
+    import threading
+    import time as _time
+    from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
+    from ecg_representation_learning_tpu.serving import InferenceService
+    from ecg_representation_learning_tpu.train.trainer import Trainer
+
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+    tr = Trainer(model_cfg, TrainConfig(do_eval=False, eval_batch_size=64,
+                                        log_to_console=False),
+                 output_dir='/tmp/bench-serve')
+    tr.init_state()
+    rng = np.random.default_rng(0)
+    sigs = rng.standard_normal((32, 12, 2500)).astype(np.float32)
+
+    def run_clients(svc, reqs_per_client: int):
+        lat = []
+        lock = threading.Lock()
+
+        def client(i):
+            mine = []
+            for _ in range(reqs_per_client):
+                t0 = _time.perf_counter()
+                svc.predict({'signals': sigs[i]})
+                mine.append(_time.perf_counter() - t0)
+            with lock:
+                lat.extend(mine)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+        t0 = _time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = _time.perf_counter() - t0
+        return 32 * reqs_per_client / wall, float(np.percentile(lat, 99))
+
+    svc_serial = InferenceService(tr, max_batch=1)       # r3 path emulation
+    svc_serial.warmup()
+    serial_rps, _ = run_clients(svc_serial, 3)
+    svc_serial.close()
+
+    svc = InferenceService(tr)                            # continuous batching
+    svc.warmup()
+    coalesced_rps, p99 = run_clients(svc, 8)
+    n_disp, n_req = svc.batcher.dispatches, svc.batcher.requests
+    svc.close()
+
+    _emit('serve32_p99_latency_ms', p99 * 1e3, 'ms',
+          n_req / max(n_disp, 1))  # vs_baseline doubles as requests/dispatch
+    _emit('serve32_requests_per_sec', coalesced_rps, 'req/s',
+          coalesced_rps / max(serial_rps, 1e-9))
+
+
 def bench_quality_dress():
     """Reference-scale train->eval quality gate (runs last: ~3-4 min)."""
     import jax.numpy as jnp
@@ -359,6 +420,7 @@ def main():
     leg(bench_denoise)
     leg(bench_mae_stream)
     leg(bench_infer)
+    leg(bench_serving_concurrent)
     leg(bench_quality_dress)
 
     # The driver records the LAST emitted line as the round's headline

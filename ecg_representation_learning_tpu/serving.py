@@ -5,9 +5,16 @@ SURVEY.md §1 "no CLI layer and no serving layer").
 Design: the model stays resident on the accelerator inside a ``Trainer``
 (jitted eval program, compiled once at warmup); requests are plain JSON over
 stdlib ``http.server`` -- no web-framework dependency.  Concurrency model:
-``ThreadingHTTPServer`` accepts in parallel, inference itself is serialized
-by a lock (one device; batching inside a request is the throughput lever --
-send (N, C, L) per call).
+``ThreadingHTTPServer`` accepts in parallel; concurrent requests are
+COALESCED into one device dispatch by a :class:`MicroBatcher` (continuous
+batching): while one dispatch is on the device, arrivals queue up and the
+next dispatch takes them all in a single (sum-N, C, L) call.  Device cost is
+flat in the coalesced size up to ``eval_batch_size`` because ``predict``
+pads partial batches to that fixed compiled shape -- so K concurrent batch-1
+clients cost ~1/K of the serialized path.  An optional ``max_wait_ms`` adds
+a collection deadline for bursty low-concurrency traffic; the default 0
+relies purely on natural accumulation and adds zero latency to a lone
+request.
 
 API:
   GET  /health   -> {"status": "ok", "model": ..., "num_class": ...}
@@ -23,12 +30,132 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from .registry import PTBXL_CODE2DESCRIPTION, PTBXL_ID2CODE
+
+
+class _Pending:
+    """One caller's slice of a coalesced dispatch."""
+    __slots__ = ('signals', 'agg', 'event', 'probs', 'error')
+
+    def __init__(self, signals: np.ndarray, agg: str):
+        self.signals = signals
+        self.agg = agg
+        self.event = threading.Event()
+        self.probs: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Cross-request coalescing for single-device inference.
+
+    Caller threads :meth:`submit` their (N, C, L) signals and block; a single
+    dispatcher thread drains the pending list, concatenates requests that
+    share a batching key ``(L, agg)`` (mixed lengths cannot share one device
+    call) into ONE dispatch of ``runner(signals, agg)``, then splits the
+    result rows back per caller.  Because dispatches are serialized in the
+    dispatcher thread, arrivals during an in-flight dispatch accumulate and
+    ride the next one -- continuous batching with no added latency for a
+    lone request.  ``max_wait_ms > 0`` additionally holds the FIRST request
+    of a batch up to that deadline to let stragglers join (burst smoothing).
+
+    Error semantics: a runner exception fans out to every caller in the
+    coalesced batch (they shared the device call); validation stays in the
+    caller thread, before submit.
+    """
+
+    def __init__(self, runner, max_batch: int = 1024,
+                 max_wait_ms: float = 0.0):
+        self._runner = runner
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._cv = threading.Condition()
+        self._pending: List[_Pending] = []
+        self._closed = False
+        self.dispatches = 0          # observability: device calls made
+        self.requests = 0            # ... vs requests served
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='microbatcher')
+        self._thread.start()
+
+    def submit(self, signals: np.ndarray, agg: str) -> np.ndarray:
+        p = _Pending(signals, agg)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError('MicroBatcher is closed')
+            self._pending.append(p)
+            self._cv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.probs
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
+    # ------------------------------------------------------------ dispatcher
+    def _take_matching(self, key, n: int, batch: List[_Pending]) -> int:
+        """Pull every pending request with this key (FIFO) into ``batch``
+        until max_batch; returns the new sample count.  Caller holds _cv."""
+        i = 0
+        while i < len(self._pending) and n < self.max_batch:
+            p = self._pending[i]
+            if ((p.signals.shape[-1], p.agg) == key
+                    and n + p.signals.shape[0] <= self.max_batch):
+                batch.append(self._pending.pop(i))
+                n += p.signals.shape[0]
+            else:
+                i += 1
+        return n
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if not self._pending and self._closed:
+                    return
+                first = self._pending.pop(0)
+                batch = [first]
+                key = (first.signals.shape[-1], first.agg)
+                n = self._take_matching(key, first.signals.shape[0], batch)
+            if self.max_wait > 0:
+                deadline = time.monotonic() + self.max_wait
+                while n < self.max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    with self._cv:
+                        before = n
+                        n = self._take_matching(key, n, batch)
+                        if n >= self.max_batch:
+                            break
+                        if n == before:
+                            self._cv.wait(timeout=left)
+            sigs = (np.concatenate([p.signals for p in batch], axis=0)
+                    if len(batch) > 1 else first.signals)
+            try:
+                probs = self._runner(sigs, key[1])
+                off = 0
+                for p in batch:
+                    m = p.signals.shape[0]
+                    p.probs = probs[off:off + m]
+                    off += m
+            except BaseException as e:  # noqa: BLE001 -- fan the fault out
+                for p in batch:
+                    p.error = e
+            self.dispatches += 1
+            self.requests += len(batch)
+            for p in batch:
+                p.event.set()
 
 
 class InferenceService:
@@ -36,17 +163,28 @@ class InferenceService:
     unit under test.  Wraps a ``train.Trainer`` with loaded params."""
 
     def __init__(self, trainer, default_top_k: int = 5,
-                 max_batch: int = 1024):
+                 max_batch: int = 1024, max_wait_ms: float = 0.0):
         self.trainer = trainer
         self.default_top_k = default_top_k
         self.max_batch = max_batch
-        self._lock = threading.Lock()
+        # predict_long routes internally: direct lossless predict() for
+        # L < max_signal_length, sliding windows + per-class aggregation
+        # for long records (e.g. a full INCART strip).  The batcher owns
+        # device serialization (single dispatcher thread), so no lock.
+        self.batcher = MicroBatcher(
+            lambda sigs, agg: trainer.predict_long(sigs, agg=agg),
+            max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    def close(self) -> None:
+        self.batcher.close()
 
     def health(self) -> Dict[str, Any]:
         cfg = self.trainer.model_cfg
         return {'status': 'ok', 'model': self.trainer.name,
                 'num_class': cfg.num_class, 'num_channels': cfg.num_channels,
-                'max_signal_length': cfg.max_signal_length}
+                'max_signal_length': cfg.max_signal_length,
+                'requests': self.batcher.requests,
+                'dispatches': self.batcher.dispatches}
 
     def warmup(self) -> None:
         """Compile the eval program before the first request."""
@@ -76,12 +214,9 @@ class InferenceService:
         agg = str(payload.get('agg', 'max'))
         if agg not in ('max', 'mean'):
             raise ValueError(f"agg must be 'max' or 'mean', got {agg!r}")
-        with self._lock:
-            # predict_long routes internally: direct lossless predict() for
-            # L < max_signal_length, sliding windows + per-class aggregation
-            # ('max' default; payload 'agg') for long records (e.g. a full
-            # INCART strip)
-            probs = self.trainer.predict_long(signals, agg=agg)
+        # coalesced with concurrent requests of the same (L, agg) into one
+        # device dispatch; rows come back in this request's order
+        probs = self.batcher.submit(signals, agg)
         order = np.argsort(-probs, axis=1)[:, :k]
         n_code = len(PTBXL_ID2CODE)
         top = [[{'code': PTBXL_ID2CODE[int(c)] if c < n_code else str(int(c)),
@@ -132,10 +267,16 @@ def _make_handler(service: InferenceService):
 
 
 def serve(trainer, host: str = '127.0.0.1', port: int = 8000,
-          warmup: bool = True) -> ThreadingHTTPServer:
+          warmup: bool = True, max_wait_ms: float = 0.0
+          ) -> ThreadingHTTPServer:
     """Start the inference server (returns the server; call
-    ``serve_forever()`` to block, or use the returned handle in tests)."""
-    service = InferenceService(trainer)
+    ``serve_forever()`` to block, or use the returned handle in tests).
+
+    ``max_wait_ms``: optional micro-batching collection deadline -- 0 (the
+    default) coalesces only requests that arrive while a dispatch is in
+    flight (no added latency); >0 additionally holds the first request of a
+    batch that long to let stragglers join."""
+    service = InferenceService(trainer, max_wait_ms=max_wait_ms)
     if warmup:
         service.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(service))

