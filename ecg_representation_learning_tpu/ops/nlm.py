@@ -62,8 +62,13 @@ def est_noise_std(x: jnp.ndarray) -> jnp.ndarray:
     _, r = jax.lax.associative_scan(compose, (aa, bb), axis=-1)
     res = jnp.concatenate([r, x[..., -1:]], axis=-1)
     assert res.shape[-1] == n
-    med = jnp.median(res, axis=-1, keepdims=True)
-    return 1.4826 * jnp.median(jnp.abs(res - med), axis=-1)
+    # bisection-on-counts median (loess.median_last_axis) instead of
+    # jnp.median's full XLA sort: the two sort medians were ~5 ms of the
+    # 12 ms "NLM" time at (768, 2500) -- the same swap that took rloess
+    # from 20.9 to 7.4 ms (round 2).  Exact (element-convergent) medians.
+    from .loess import median_last_axis
+    med = median_last_axis(res)[..., None]
+    return 1.4826 * median_last_axis(jnp.abs(res - med))
 
 
 def nlm(
