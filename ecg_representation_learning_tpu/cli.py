@@ -237,12 +237,6 @@ def cmd_pretrain(args):
     from .registry import PTBXL_TRAIN_STATS
     from .train.contrastive import ContrastiveTrainer
     from .train.pretrain import MaeTrainer
-    if args.grad_accum > 1 or args.ema_decay > 0:
-        # the pretrainers implement neither; failing beats silently ignoring
-        # a flag the user set to fit memory / smooth weights
-        raise SystemExit('--grad-accum/--ema-decay apply to `train` only '
-                         '(the MAE/contrastive pretrainers do not implement '
-                         'them)')
     splits = _load_splits(args)
     model_cfg = _model_cfg_for(args)
     cfg = TrainConfig(
@@ -250,6 +244,7 @@ def cmd_pretrain(args):
         eval_batch_size=args.batch_size, learning_rate=args.lr,
         weight_decay=args.weight_decay, schedule=args.schedule,
         warmup_ratio=args.warmup_ratio, patience=args.patience,
+        grad_accum=args.grad_accum, ema_decay=args.ema_decay,
         mesh_model=args.mesh_model, fsdp=args.fsdp, seed=args.seed)
     stats = PTBXL_TRAIN_STATS[args.stats] if args.stats else None
     if getattr(args, 'objective', 'mae') == 'contrastive':

@@ -24,7 +24,6 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import PartitionSpec as P
 
 from ..configs import ContrastiveConfig, MaeConfig, TrainConfig, VitConfig
@@ -33,7 +32,7 @@ from ..ops.augment import contrastive_view
 from ..parallel.mesh import (DATA_AXIS, batch_sharding, opt_state_shardings,
                              param_shardings, replicated)
 from ..utils.logging import get_logger
-from .optim import FusedAdamW, apply_optimizer
+from .loop import finish_update, grad_accum_scan
 from .pretrain import MaeTrainer
 from .trainer import SplitData, TrainState, _prep_batch
 
@@ -73,11 +72,14 @@ class ContrastiveTrainer(MaeTrainer):
         opt_state = self.optimizer.init(params)
         pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
         osh = opt_state_shardings(opt_state, pspec, self.mesh)
+        placed = jax.tree.map(jax.device_put, params, pspec)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh)),
-            params=jax.tree.map(jax.device_put, params, pspec),
+            params=placed,
             opt_state=jax.tree.map(jax.device_put, opt_state, osh),
             rng=jax.device_put(rng, replicated(self.mesh)),
+            ema_params=(jax.tree.map(jnp.copy, placed)
+                        if self.cfg.ema_decay > 0 else None),
         )
         return self.state
 
@@ -103,10 +105,18 @@ class ContrastiveTrainer(MaeTrainer):
     def _build_step(self):
         model, cfg, cc = self.model, self.cfg, self.con_cfg
         tp_ctx = self._tp_ctx()
+        accum = max(1, cfg.grad_accum)
 
-        def train_step(state: TrainState, signals, idx, nonfinite_count):
-            rng, aug_rng, do_rng = jax.random.split(state.rng, 3)
-            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
+        def micro_grads(params, signals, idx_k, aug_rng, do_rng):
+            """One (micro)batch: gather -> two views -> NT-Xent + grads.
+
+            Under grad accumulation (accum > 1) the negatives pool is the
+            MICROBATCH: NT-Xent is a whole-batch objective, so accumulation
+            trades negatives-per-anchor for activation memory (each update
+            then averages ``accum`` independent (B/accum)-sized NT-Xent
+            losses).  Callers who need the full negatives pool should prefer
+            FSDP/remat over accumulation here (ARCHITECTURE.md matrix)."""
+            sig = jnp.take(signals, idx_k, axis=0).astype(jnp.float32)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             x = self._views(sig, aug_rng)
 
@@ -120,18 +130,21 @@ class ContrastiveTrainer(MaeTrainer):
                 loss, acc = nt_xent(z, cc.temperature, with_accuracy=True)
                 return loss + self.model_cfg.moe_aux_weight * aux, (loss, acc)
 
-            (_, (loss, acc)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            grad_norm = optax.global_norm(grads)
-            finite = jnp.isfinite(grad_norm)
-            if cfg.debug_nans and not isinstance(self.optimizer, FusedAdamW):
-                grads = jax.tree.map(
-                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
-            params, opt_state = apply_optimizer(self.optimizer, grads,
-                                                state.opt_state, state.params)
-            new_state = TrainState(step=state.step + 1, params=params,
-                                   opt_state=opt_state, rng=rng)
+            (_, aux_out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return aux_out, grads
+
+        def train_step(state: TrainState, signals, idx, nonfinite_count):
+            rng, aug_rng, do_rng = jax.random.split(state.rng, 3)
+            # shared loop mechanics (train/loop.py): accumulation scan +
+            # sanitizer + optimizer + EMA -- one implementation everywhere
+            (loss, acc), grads = grad_accum_scan(
+                lambda p, idx_k, r: micro_grads(p, signals, idx_k, r[0], r[1]),
+                state.params, idx, (aug_rng, do_rng), accum)
+            if accum > 1:
+                loss, acc = loss.mean(), acc.mean()
+            new_state, grad_norm, nonfinite_count = finish_update(
+                self.optimizer, cfg, state, grads, rng, nonfinite_count)
             return new_state, {'loss': loss, 'contrast_acc': acc,
                                'grad_norm': grad_norm,
                                'learning_rate': self.schedule(state.step)}, \
@@ -179,7 +192,7 @@ class ContrastiveTrainer(MaeTrainer):
             rng, aug_rng = jax.random.split(rng)
             sigs, take_dev = self._sig_inputs(data, take)
             with self.mesh:
-                loss, _ = self._eval_step(self.state.params, sigs,
+                loss, _ = self._eval_step(self._eval_params(), sigs,
                                           take_dev, aug_rng)
             losses.append(float(loss))
         return float(np.mean(losses))
@@ -229,10 +242,10 @@ class ContrastiveTrainer(MaeTrainer):
                 return loss + self.model_cfg.moe_aux_weight * aux, loss
 
             (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            params, opt_state = apply_optimizer(self.optimizer, grads,
-                                                state.opt_state, state.params)
-            return TrainState(step=state.step + 1, params=params,
-                              opt_state=opt_state, rng=rng), loss
+            # shared update tail (optimizer + EMA), same as the MAE stream
+            new_state, _, _ = finish_update(self.optimizer, self.cfg, state,
+                                            grads, rng, jnp.zeros((), jnp.int32))
+            return new_state, loss
 
         with self.mesh:
             return jax.jit(stream_step, donate_argnums=(0,),
@@ -277,7 +290,12 @@ def _raw_pretrain_params(path: str):
     import orbax.checkpoint as ocp
     from .checkpoint import wait_for_checkpoints
     wait_for_checkpoints()
-    return ocp.StandardCheckpointer().restore(os.path.abspath(path))['params']
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    # checkpoints trained with ema_decay carry the EMA tree as a sibling
+    # (checkpoint._to_pytree); the smoothing exists to be transferred, so
+    # prefer it for the SSL -> supervised handoff
+    ema = raw.get('ema_params')
+    return ema if ema is not None else raw['params']
 
 
 def detect_encoder_kind(path: str) -> str:

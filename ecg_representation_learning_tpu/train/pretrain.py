@@ -25,7 +25,8 @@ from ..models.mae import EcgMae
 from ..parallel.mesh import (DATA_AXIS, batch_sharding, make_mesh,
                              opt_state_shardings, param_shardings, replicated)
 from ..utils.logging import TbWriter, get_logger
-from .optim import FusedAdamW, apply_optimizer, make_optimizer
+from .loop import finish_update, grad_accum_scan
+from .optim import make_optimizer
 from .trainer import SplitData, TrainState, _prep_batch
 
 
@@ -43,11 +44,8 @@ class MaeTrainer:
         output_dir: Optional[str] = None,
         mesh=None,
     ):
-        if train_cfg.grad_accum > 1 or train_cfg.ema_decay > 0:
-            raise NotImplementedError(
-                'grad_accum/ema_decay are supervised-Trainer features; the '
-                'pretrainers run full batches and serve raw params -- unset '
-                'them rather than silently ignoring them')
+        assert train_cfg.train_batch_size % max(1, train_cfg.grad_accum) == 0, \
+            (train_cfg.train_batch_size, train_cfg.grad_accum)
         self.model_cfg, self.mae_cfg, self.cfg = model_cfg, mae_cfg, train_cfg
         self.model = EcgMae(model_cfg, mae_cfg)
         self.train_data, self.eval_data = train_data, eval_data
@@ -87,13 +85,26 @@ class MaeTrainer:
         # moments over the data axis
         pspec = param_shardings(params, self.mesh, fsdp=self.cfg.fsdp)
         osh = opt_state_shardings(opt_state, pspec, self.mesh)
+        placed = jax.tree.map(jax.device_put, params, pspec)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh)),
-            params=jax.tree.map(jax.device_put, params, pspec),
+            params=placed,
             opt_state=jax.tree.map(jax.device_put, opt_state, osh),
             rng=jax.device_put(rng, replicated(self.mesh)),
+            ema_params=(jax.tree.map(jnp.copy, placed)
+                        if self.cfg.ema_decay > 0 else None),
         )
         return self.state
+
+    def _eval_params(self):
+        """Params used for evaluation / encoder transfer: the EMA weights
+        when ``cfg.ema_decay > 0`` (same serve-the-smoothing policy as the
+        supervised Trainer), else the raw trained params."""
+        if self.state is None:
+            return None
+        if self.cfg.ema_decay > 0 and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
 
     def _tp_ctx(self):
         """Trace-time context mgr factory: under tensor parallelism the flash
@@ -111,14 +122,13 @@ class MaeTrainer:
         model, cfg = self.model, self.cfg
         mean, std, patch = self.mean, self.std, self.model_cfg.patch_size
         tp_ctx = self._tp_ctx()
+        accum = max(1, cfg.grad_accum)
 
-        def train_step(state: TrainState, signals, idx, nonfinite_count):
-            # HBM-resident split + on-device index gather (same policy as
-            # trainer.Trainer._step_inputs); host-streaming mode passes the
-            # batch itself with an iota idx
-            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+        def micro_grads(params, signals, idx_k, mask_rng, do_rng):
+            """One (micro)batch: HBM-resident gather -> prep -> masked-recon
+            loss + grads -- the unit the shared accumulation scan runs."""
             # resident splits may be stored sub-f32 (cfg.resident_dtype)
-            sig = jnp.take(signals, idx, axis=0).astype(jnp.float32)
+            sig = jnp.take(signals, idx_k, axis=0).astype(jnp.float32)
             sig = jax.lax.with_sharding_constraint(sig, P(DATA_AXIS))
             # crop after the always-pad quirk: inputs already a patch multiple
             # gain a zero patch (transform.py:148-151) that would exceed the
@@ -135,21 +145,24 @@ class MaeTrainer:
                         moe=self.model_cfg.moe_num_experts > 0)
                 return out.loss + self.model_cfg.moe_aux_weight * aux, out.loss
 
-            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            grad_norm = optax.global_norm(grads)
-            # numeric sanitizer (same as Trainer): zero a non-finite step's
-            # gradients so params never get poisoned, count the event on
-            # device; the host raises at its next sync point
-            finite = jnp.isfinite(grad_norm)
-            if cfg.debug_nans and not isinstance(self.optimizer, FusedAdamW):
-                # FusedAdamW folds the zeroing into its fused update pass
-                grads = jax.tree.map(
-                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
-            params, opt_state = apply_optimizer(self.optimizer, grads,
-                                                state.opt_state, state.params)
-            new_state = TrainState(step=state.step + 1, params=params,
-                                   opt_state=opt_state, rng=rng)
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, grads
+
+        def train_step(state: TrainState, signals, idx, nonfinite_count):
+            # HBM-resident split + on-device index gather (same policy as
+            # trainer.Trainer._step_inputs); host-streaming mode passes the
+            # batch itself with an iota idx
+            rng, mask_rng, do_rng = jax.random.split(state.rng, 3)
+            # grad accumulation + sanitizer + optimizer + EMA all come from
+            # the shared loop mechanics (train/loop.py) -- one implementation
+            # across the trainer families
+            loss, grads = grad_accum_scan(
+                lambda p, idx_k, r: micro_grads(p, signals, idx_k, r[0], r[1]),
+                state.params, idx, (mask_rng, do_rng), accum)
+            if accum > 1:
+                loss = loss.mean()
+            new_state, grad_norm, nonfinite_count = finish_update(
+                self.optimizer, cfg, state, grads, rng, nonfinite_count)
             return new_state, {'loss': loss, 'grad_norm': grad_norm,
                                'learning_rate': self.schedule(state.step)}, \
                 nonfinite_count
@@ -232,7 +245,9 @@ class MaeTrainer:
             rng, mask_rng = jax.random.split(rng)
             sigs, take_dev = self._sig_inputs(data, take)
             with self.mesh:
-                per_sample = self._eval_step(self.state.params, sigs,
+                # EMA weights when tracked -- eval and early stopping judge
+                # what will be served/transferred (same policy as Trainer)
+                per_sample = self._eval_step(self._eval_params(), sigs,
                                              take_dev, mask_rng)
             losses.append(np.asarray(per_sample)[:n_real])
         return float(np.concatenate(losses).mean())
@@ -271,10 +286,11 @@ class MaeTrainer:
                 return out.loss + self.model_cfg.moe_aux_weight * aux, out.loss
 
             (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            params, opt_state = apply_optimizer(self.optimizer, grads,
-                                                state.opt_state, state.params)
-            return TrainState(step=state.step + 1, params=params,
-                              opt_state=opt_state, rng=rng), loss
+            # shared update tail (optimizer + EMA); the stream loop has no
+            # host sync cadence, so the sanitizer count is not threaded out
+            new_state, _, _ = finish_update(self.optimizer, self.cfg, state,
+                                            grads, rng, jnp.zeros((), jnp.int32))
+            return new_state, loss
 
         with self.mesh:
             return jax.jit(stream_step, donate_argnums=(0,),

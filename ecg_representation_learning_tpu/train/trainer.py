@@ -46,6 +46,7 @@ from ..parallel.mesh import (DATA_AXIS, make_mesh, opt_state_shardings,
 from ..utils.logging import TbWriter, get_logger, pretty_log_dict
 from .metrics import (binary_stats, classification_report, multilabel_auroc,
                       per_class_recall)
+from .loop import finish_update, grad_accum_scan
 from .optim import FusedAdamW, apply_optimizer, make_optimizer
 
 
@@ -230,8 +231,8 @@ class Trainer:
 
         def micro_grads(params, signals, labels, idx_k, to_rng, do_rng):
             """Gather one (micro)batch from the HBM-resident split, prep it,
-            and return (loss, logits, labels) + grads -- the unit both the
-            plain step (accum=1) and the accumulation scan run."""
+            and return (loss, logits, labels) + grads -- the unit the shared
+            accumulation scan (loop.grad_accum_scan) runs."""
             # resident splits may be stored sub-f32 (cfg.resident_dtype);
             # normalization and loss math always run in f32
             sig = jnp.take(signals, idx_k, axis=0).astype(jnp.float32)
@@ -263,57 +264,21 @@ class Trainer:
             # per-step host->device batch transfer.  (Host-streaming mode
             # passes the batch itself with an iota idx -- same program.)
             rng, to_rng, do_rng = jax.random.split(state.rng, 3)
-            if accum == 1:
-                (loss, logits, lab), grads = micro_grads(
-                    state.params, signals, labels, idx, to_rng, do_rng)
-            else:
-                # gradient accumulation: lax.scan the microbatch unit, grads
-                # summed into a params-shaped carry (activation memory is one
-                # microbatch's), ONE optimizer update on the mean -- same
-                # effective batch and schedule as accum=1
-                idx_m = idx.reshape(accum, -1)
-                to_rngs = jax.random.split(to_rng, accum)
-                do_rngs = jax.random.split(do_rng, accum)
-
-                def body(carry, xs):
-                    gacc, lsum = carry
-                    idx_k, t_k, d_k = xs
-                    (l, logits_k, lab_k), g = micro_grads(
-                        state.params, signals, labels, idx_k, t_k, d_k)
-                    gacc = jax.tree.map(jnp.add, gacc, g)
-                    return (gacc, lsum + l), (logits_k, lab_k)
-
-                g0 = jax.tree.map(jnp.zeros_like, state.params)
-                (gsum, lsum), (logits_m, lab_m) = jax.lax.scan(
-                    body, (g0, jnp.zeros((), jnp.float32)),
-                    (idx_m, to_rngs, do_rngs))
-                grads = jax.tree.map(lambda g: g / accum, gsum)
-                loss = lsum / accum
-                logits = logits_m.reshape(-1, logits_m.shape[-1])
-                lab = lab_m.reshape(-1, lab_m.shape[-1])
-            grad_norm = optax.global_norm(grads)
-            # numeric sanitizer, decoupled from the log cadence: zero a
-            # non-finite step's gradients so params never get poisoned, count
-            # the event on device; the host raises at its next sync point.
-            # The FusedAdamW path folds the zeroing (and the clip) into its
-            # single update pass, so the tree-wide select below only runs on
-            # the optax-chain path.
-            finite = jnp.isfinite(grad_norm)
-            if cfg.debug_nans and not isinstance(self.optimizer, FusedAdamW):
-                grads = jax.tree.map(
-                    lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            nonfinite_count = nonfinite_count + (1 - finite.astype(jnp.int32))
-            params, opt_state = apply_optimizer(self.optimizer, grads,
-                                                state.opt_state, state.params)
-            if cfg.ema_decay > 0:
-                d = jnp.float32(cfg.ema_decay)
-                ema = jax.tree.map(lambda e, p: e * d + p * (1 - d),
-                                   state.ema_params, params)
-            else:
-                ema = state.ema_params
-            new_state = TrainState(step=state.step + 1, params=params,
-                                   opt_state=opt_state, rng=rng,
-                                   ema_params=ema)
+            # gradient accumulation via the shared scan (train/loop.py):
+            # grads summed into a params-shaped carry (activation memory is
+            # one microbatch's), ONE optimizer update on the mean -- same
+            # effective batch and schedule as accum=1
+            (loss, logits, lab), grads = grad_accum_scan(
+                lambda p, idx_k, r: micro_grads(p, signals, labels,
+                                                idx_k, r[0], r[1]),
+                state.params, idx, (to_rng, do_rng), accum)
+            if accum > 1:   # stacked microbatch aux -> flat batch
+                loss = loss.mean()
+                logits = logits.reshape(-1, logits.shape[-1])
+                lab = lab.reshape(-1, lab.shape[-1])
+            # shared update tail: sanitizer -> optimizer -> EMA (loop.py)
+            new_state, grad_norm, nonfinite_count = finish_update(
+                self.optimizer, cfg, state, grads, rng, nonfinite_count)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             metrics = {'loss': loss, 'learning_rate': self.schedule(state.step),
                        'grad_norm': grad_norm, **binary_stats(probs, lab)}
