@@ -1,9 +1,20 @@
 # Convenience targets
 
-.PHONY: test bench native entrycheck clean
+.PHONY: test test-fast test-slow bench native entrycheck clean
 
+# full suite (nightly scale: trainer loops + integration, >40 min on a
+# single-core host)
 test:
 	python -m pytest tests/ -q
+
+# the default development gate: everything not marked `slow`
+# (ops golden tests, data plane, models, metrics, serving, registry)
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
+# only the long-running tier
+test-slow:
+	python -m pytest tests/ -q -m slow
 
 bench:
 	python bench.py

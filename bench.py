@@ -212,8 +212,8 @@ def bench_mae_stream():
     # bs-256 is the measured throughput optimum on one chip: with 75% of the
     # 40 patches masked the encoder GEMMs are small, so larger batches
     # amortize the ~4 ms AdamW HBM floor of the ViT-base moments (PERF.md
-    # batch scan: 6.8k samp/s @64, 10.7k @256; 128 hits an XLA tiling
-    # anomaly, 512 regresses)
+    # round-4 batch scan, monotone: 6.9k samp/s @64 -> 11.3k @256;
+    # 512 regresses)
     bsz = 256
     model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
     tr = MaeTrainer(model_cfg, MaeConfig(), TrainConfig(train_batch_size=bsz),

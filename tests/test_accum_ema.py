@@ -10,6 +10,8 @@ from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
 from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
+
 
 def setup(tmp_path, name, **cfg_kwargs):
     signals, labels, folds = synth_ptbxl(n=96, length=640)

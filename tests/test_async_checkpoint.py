@@ -8,7 +8,12 @@ from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
 from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.train import Trainer
 from ecg_representation_learning_tpu.train.checkpoint import (
+
     restore_checkpoint, save_checkpoint, wait_for_checkpoints)
+
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
 
 
 def small_trainer(tmp_path, tag, **cfg_kw):

@@ -29,6 +29,8 @@ from ecg_representation_learning_tpu.train.contrastive import (
     transfer_contrastive_encoder)
 from ecg_representation_learning_tpu.train.trainer import SplitData, Trainer
 
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
+
 
 def _model_cfg(**kw):
     base = dict(max_signal_length=256, patch_size=64, flash_interpret=True)

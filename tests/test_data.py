@@ -244,6 +244,7 @@ def test_get_ptbxl_splits_cover_all():
 # ---------------------------------------------------------------------------
 # export + pipeline
 # ---------------------------------------------------------------------------
+@pytest.mark.slow  # ~40-50 s: full export path
 def test_export_combined_and_denoised(tmp_path, rng):
     # build a tiny WFDB corpus under the PTB-XL registry layout
     root = tmp_path / 'corpora'
@@ -323,6 +324,7 @@ def test_export_denoised_zero_lead_rule(tmp_path, rng):
     assert np.any(arr[1, 0] != 0)
 
 
+@pytest.mark.slow  # ~40-50 s: full export path
 def test_export_denoised_resumable(tmp_path, rng):
     sigs = rng.standard_normal((4, 2, 200)).astype(np.float32)
     p = write_combined_hdf5(str(tmp_path / 'r.hdf5'), sigs)

@@ -14,6 +14,7 @@ from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
 from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.train import Trainer
 from ecg_representation_learning_tpu.train.evaluate import evaluate_trained, pick_eval_eg
+import pytest
 
 
 def make_trainer(tmp_path):
@@ -54,6 +55,7 @@ def test_pick_eval_eg(tmp_path):
     assert glob.glob(str(tmp_path / 'ev' / 'eval_edge_example_samples*.pkl'))
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_cli_visualize(tmp_path):
     from ecg_representation_learning_tpu.cli import main
     import contextlib, io

@@ -14,6 +14,8 @@ from ecg_representation_learning_tpu.models.export_artifact import (
     ExportedModel, export_model)
 from ecg_representation_learning_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # 24 s module fixture (StableHLO export roundtrip)
+
 
 @pytest.fixture(scope='module')
 def trained(tmp_path_factory):

@@ -154,6 +154,7 @@ def test_pallas_update_kernel_matches_jnp_leaf():
     assert not leaf_eligible(bad, bad, bad, bad)
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_chain_checkpoint_migrates_into_fused_trainer(tmp_path):
     """A checkpoint saved under the pre-FusedAdamW optax-chain layout resumes
     into a fused trainer with its Adam moments and count INTACT (not the
@@ -195,6 +196,7 @@ def test_chain_checkpoint_migrates_into_fused_trainer(tmp_path):
                for l in jax.tree.leaves(mu_new))
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_trainer_fused_vs_chain_loss_parity():
     """Same data, same seeds: the fused and optax-chain trainers produce
     matching losses over an epoch (the end-to-end guarantee)."""
@@ -221,6 +223,7 @@ def test_trainer_fused_vs_chain_loss_parity():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_chain_checkpoint_does_not_migrate_across_mu_dtype(tmp_path):
     """f32 chain moments must NOT migrate into a fused trainer configured
     with adam_mu_dtype='bfloat16': installing f32 mu there would silently

@@ -83,6 +83,7 @@ def test_model_dropout_deterministic_per_rng(debug_model):
     assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_grad_flows_scan_blocks():
     cfg = VitConfig.from_defined('debug', max_signal_length=512,
                                  scan_blocks=True, dropout_impl='hash')

@@ -155,6 +155,7 @@ def test_random_masking_static_shapes():
         assert set(np.nonzero(m[i] == 0)[0]) == set(keep[i])
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_mae_forward_and_grads(rng):
     cfg = VitConfig.from_defined('debug', max_signal_length=640,
                                  use_flash_attention=False)
@@ -186,6 +187,7 @@ def test_mae_loss_only_on_masked(rng):
     assert float(loss) == 0.0
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_scan_blocks_variant(rng):
     # lax.scan over the transformer stack: stacked (L, ...) params, same
     # forward contract; sharding rules keep the layer axis replicated

@@ -20,6 +20,8 @@ from ecg_representation_learning_tpu.models.vit import EcgVit
 from ecg_representation_learning_tpu.parallel import make_mesh, param_shardings
 from ecg_representation_learning_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
+
 
 def tiny_cfg(**kw):
     base = dict(num_channels=3, max_signal_length=320, patch_size=32,

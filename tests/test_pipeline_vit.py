@@ -8,9 +8,14 @@ import numpy as np
 from ecg_representation_learning_tpu.configs import TrainConfig, VitConfig
 from ecg_representation_learning_tpu.models.vit import EcgVit, bce_with_logits
 from ecg_representation_learning_tpu.train.pipeline_vit import (
+
     PipelineVitTrainer, make_pp_mesh, merge_vit_params, pipeline_vit_forward,
     split_vit_params,
 )
+
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
 
 CFG = VitConfig.from_defined('debug', max_signal_length=320,
                              use_flash_attention=False, scan_blocks=True,

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from ecg_representation_learning_tpu.configs import PreprocessConfig
 from ecg_representation_learning_tpu.ops import fused_export, fused_train_path, zheng_denoise
 from ecg_representation_learning_tpu.registry import PTBXL_TRAIN_STATS
+import pytest
 
 
 def test_fused_train_path_shapes_and_norm(rng):
@@ -25,6 +26,7 @@ def test_fused_export_resample_only(rng):
     assert y.shape == (2, 12, 500)
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_fused_export_with_denoise(rng):
     cfg = PreprocessConfig(nlm_search_width=16, loess_window=51)
     x = jnp.asarray(rng.standard_normal((1, 2, 600)).astype(np.float32) * 100)
@@ -33,6 +35,7 @@ def test_fused_export_with_denoise(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_zheng_denoise_reduces_wander(rng):
     # the full chain must strip low-frequency baseline wander
     fs, L = 250, 2500

@@ -7,8 +7,13 @@ from ecg_representation_learning_tpu.configs import MaeConfig, TrainConfig, VitC
 from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.models import EcgMae, EcgVit
 from ecg_representation_learning_tpu.train.pretrain import (
+
     MaeTrainer, make_probe_optimizer, transfer_encoder,
 )
+
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
 
 
 MODEL_CFG = VitConfig.from_defined('debug', max_signal_length=320,

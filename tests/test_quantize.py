@@ -8,6 +8,7 @@ from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.models.quantize import (
     dequantize_params, quantize_params_int8, quantized_bytes)
 from ecg_representation_learning_tpu.train import Trainer
+import pytest
 
 
 def make_trainer(tmp_path):
@@ -43,6 +44,7 @@ def test_quantize_roundtrip_error_bound(tmp_path):
     assert quantized_bytes(qp) < quantized_bytes(params) / 2
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_int8_predict_matches_f32(tmp_path):
     tr, splits = make_trainer(tmp_path)
     x = splits.test.signals[:8]
@@ -62,6 +64,7 @@ def test_int8_predict_matches_f32(tmp_path):
         assert abs(ev_q['macro_auc'] - ev_f['macro_auc']) < 0.02
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_int8_refreshes_on_weight_swap(tmp_path):
     # set_params / load_checkpoint must re-quantize the int8 snapshot --
     # a stale snapshot would silently keep serving the pre-swap model

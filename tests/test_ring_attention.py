@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from ecg_representation_learning_tpu.ops.attention import _attn_reference
 from ecg_representation_learning_tpu.parallel import make_mesh
 from ecg_representation_learning_tpu.parallel.ring_attention import ring_attention
+import pytest
 
 
 def test_ring_attention_matches_full(rng):
@@ -102,6 +103,7 @@ def test_seq_parallel_pretrain_smoke(rng):
     assert loss1 < float(loss0)
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_long_record_ring_pretrainer(rng):
     # end-to-end context-parallel pretraining: T=4096 sharded over 8 devices,
     # ring attention in every block, params replicated; loss falls over steps
@@ -131,6 +133,7 @@ def test_long_record_ring_pretrainer(rng):
     assert res['losses'][-1] < 0.7 * res['losses'][0], res['losses']
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_ring_pretrainer_resume_from_sharded_stream(tmp_path, rng):
     # round-3 hardening: the CP pretrainer consumes a real ShardedRecordStream
     # and a kill-and-resume run reproduces the uninterrupted run bit-exactly

@@ -8,6 +8,10 @@ from ecg_representation_learning_tpu.data import (
 )
 from ecg_representation_learning_tpu.train.pretrain import MaeTrainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
+
 
 def test_stream_pretrain_raw_500hz(tmp_path, rng):
     # shards of RAW 500 Hz records; pipeline resamples+filters on device

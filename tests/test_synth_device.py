@@ -11,6 +11,7 @@ from ecg_representation_learning_tpu.data import (get_ptbxl_splits,
                                                   synth_ptbxl,
                                                   synth_ptbxl_device)
 from ecg_representation_learning_tpu.train import Trainer
+import pytest
 
 
 def test_generator_shapes_and_distribution():
@@ -53,6 +54,7 @@ def test_tail_chunk_padding_consistent():
     assert np.isfinite(np.asarray(sig)).all()
 
 
+@pytest.mark.slow  # >13 s measured (round-4 tiering)
 def test_trainer_consumes_device_corpus():
     sig, labels, folds = synth_ptbxl_device(n=160, length=640,
                                             n_marker_classes=8, chunk=160)

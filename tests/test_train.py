@@ -12,6 +12,8 @@ from ecg_representation_learning_tpu.data import get_ptbxl_splits, synth_ptbxl
 from ecg_representation_learning_tpu.train import SplitData, Trainer, make_schedule
 from ecg_representation_learning_tpu.parallel import make_mesh
 
+pytestmark = pytest.mark.slow  # trainer-loop scale: excluded from `make test-fast`
+
 
 def small_setup(tmp_path, n=192, epochs=2, **cfg_kwargs):
     signals, labels, folds = synth_ptbxl(n=n, length=640)
