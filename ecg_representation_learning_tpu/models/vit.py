@@ -9,8 +9,11 @@ debug/tiny/small/base/large ladder via ``VitConfig.from_defined``.
 
 TPU-native choices: bfloat16 activations with float32 LayerNorm/softmax/loss,
 the blockwise Pallas attention kernel (ops/attention.py) on both the eval and
-the dropout-active training paths (in-kernel hashed dropout mask), static
-shapes throughout, and an optional
+the dropout-active training paths (in-kernel hashed dropout mask) FOR
+SEQUENCES >= ``VitConfig.flash_min_seq`` (default 128) -- below that XLA
+attention measures faster (PERF.md "Flash attention: kernel-vs-XLA
+crossover"), so the PTB-XL parity models (T=41) deliberately run the XLA
+path; static shapes throughout, and an optional
 ``return_attention`` forward for the attention-rollout visualizer
 (utils/rollout.py; reference ecg_vit.py:164-265 uses a Recorder hook instead).
 """
