@@ -96,7 +96,8 @@ def cmd_export(args):
 def cmd_denoise(args):
     from .configs import PreprocessConfig
     from .data.export import export_denoised
-    cfg = PreprocessConfig(nlm_search_width=args.nlm_search_width)
+    cfg = PreprocessConfig(nlm_search_width=args.nlm_search_width,
+                           loess_robust_iters=args.loess_robust_iters)
     out = export_denoised(args.input, args.out, cfg=cfg, batch=args.batch,
                           resume=not args.no_resume)
     print(out)
@@ -480,6 +481,10 @@ def main(argv=None):
     pd_.add_argument('--out', default=None)
     pd_.add_argument('--batch', type=int, default=64)
     pd_.add_argument('--nlm-search-width', type=int, default=None)
+    pd_.add_argument('--loess-robust-iters', type=int, default=5,
+                     help='bisquare iterations (5 = MATLAB-exact; 2 stays '
+                          'within the reference export tolerance at ~2.4x '
+                          'the rloess speed)')
     pd_.add_argument('--no-resume', action='store_true')
     pd_.set_defaults(fn=cmd_denoise)
 

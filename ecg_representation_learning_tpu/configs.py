@@ -337,6 +337,11 @@ class PreprocessConfig:
     lowpass_ripple_db: float = 1.0
     lowpass_attenuation_db: float = 2.5
     loess_window: Optional[int] = None   # default: = source fqs (data_preprocessor.py:44)
+    # MATLAB 'rloess' runs 5 bisquare robustness iterations; 2 stays within
+    # the reference's own export tolerance (atol=10, data_preprocessor.py:196)
+    # at ~2.4x the rloess speed -- the documented semantic speed knob
+    # (PERF.md round-4 denoise floor analysis)
+    loess_robust_iters: int = 5
     nlm_smooth_factor: float = 1.5
     nlm_patch_halfwidth: int = 10
     nlm_search_width: Optional[int] = None  # None = full signal (data_preprocessor.py:98-99)

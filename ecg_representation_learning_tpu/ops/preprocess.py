@@ -51,7 +51,7 @@ def zheng_denoise(
         method=lowpass_method,
     )
     window = cfg.loess_window or fqs
-    y = y - rloess(y, n=window)
+    y = y - rloess(y, n=window, robust_iters=cfg.loess_robust_iters)
     if jax.default_backend() not in ('cpu', 'gpu'):
         # Pallas fused kernel on TPU (10x the XLA scan, same semantics)
         from .nlm_pallas import nlm_pallas
