@@ -64,12 +64,15 @@ class MoeMlp(nn.Module):
                  reduce_fn=lambda a, b: a + b, init_fn=lambda: jnp.float32(0))
 
         # --- capacity + dispatch/combine tensors ------------------------------
-        # ceil(cf * S / E), static; the int() must come AFTER the division --
-        # truncating cf*S first shorts the buffer one slot whenever
-        # floor(cf*S) crosses down past a multiple of E.  round() first kills
-        # float artifacts (1.1*100/10 = 11.000000000000002 would ceil to 12,
-        # over-allocating a dispatch/combine slot)
-        cap = max(1, int(np.ceil(round(cfg.moe_capacity_factor * s / e, 6))))
+        # ceil(cf * S / E), static, computed EXACTLY: Fraction(repr(cf)) is
+        # the decimal the user wrote (repr = shortest round-tripping decimal),
+        # so 1.1*100/10 ceils to 11, never 12 (float artifact) and never 10
+        # (an eps/round hack could round down past an integer and silently
+        # drop tokens -- under-allocation is the worse failure direction)
+        import math
+        from fractions import Fraction
+        cap = max(1, math.ceil(
+            Fraction(repr(float(cfg.moe_capacity_factor))) * s / e))
         # position of each token within its expert's buffer (0-based)
         pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot                # (S,E)
         pos_in_expert = pos.sum(axis=-1)                                 # (S,)

