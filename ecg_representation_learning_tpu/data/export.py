@@ -169,6 +169,75 @@ def export_combined(
     return out_path
 
 
+def export_shards(
+    dataset_key: str,
+    data_root: str,
+    out_dir: str,
+    records_per_shard: int = 256,
+    wire_dtype: str = 'int16',
+    wire_scale: float = 1000.0,
+    pad_length: Optional[int] = None,
+    n_workers: int = 8,
+) -> List[str]:
+    """Raw corpus -> streaming-pretrain shard files (BASELINE config 5).
+
+    Unlike :func:`export_combined` (the supervised path: resampled to the
+    unified 250 Hz grid, float32), shards stay at the corpus's NATIVE rate --
+    the fused resample+filter+normalize runs ON DEVICE inside the jitted
+    pretrain step (train/pretrain.py build_stream_step) -- and ship int16
+    ADC-style counts (``round(x * wire_scale)``), the principled wire format
+    since WFDB sources are int16 natively; it also halves host->HBM traffic
+    (PERF.md "int16 on the wire").  Each shard carries its own metadata
+    (``fqs``, ``wire_scale``, ``wire_dtype``) so consumers (``cli pretrain
+    --stream``) need no per-corpus flags.
+
+    Returns the shard paths, ``{key}-shard-0000.hdf5`` ... under ``out_dir``.
+    """
+    import h5py
+    assert wire_dtype in ('int16', 'float32'), wire_dtype
+    logger = get_logger('ECG Shard Export')
+    meta = DATASETS[dataset_key]
+    paths = get_rec_paths(dataset_key, data_root)
+    assert paths, f'no records matched for {dataset_key} under {data_root}'
+    n, read_batch = _batch_reader(dataset_key, paths, n_workers)
+    tgt_len = pad_length or _probe_max_len(dataset_key, paths)
+    c = read_batch(0, 1)[0].shape[0]
+    os.makedirs(out_dir, exist_ok=True)
+    logger.info(f'Sharding {dataset_key}: {n} records @ {meta.fqs} Hz native, '
+                f'{records_per_shard}/shard, wire {wire_dtype}')
+    out_paths = []
+    attrs = {'dnm': dataset_key, 'fqs': meta.fqs, 'wire_dtype': wire_dtype,
+             'wire_scale': wire_scale if wire_dtype == 'int16' else None}
+    for si, i0 in enumerate(range(0, n, records_per_shard)):
+        i1 = min(i0 + records_per_shard, n)
+        chunk = read_batch(i0, i1)
+        out = np.zeros((i1 - i0, c, tgt_len), np.float32)
+        for j, s in enumerate(chunk):
+            keep = min(s.shape[-1], tgt_len)
+            out[j, :, :keep] = np.nan_to_num(s[:, :keep])
+        if wire_dtype == 'int16':
+            wire = np.clip(np.round(out * wire_scale), -32768, 32767
+                           ).astype(np.int16)
+        else:
+            wire = out
+        path = os.path.join(out_dir, f'{dataset_key}-shard-{si:04d}.hdf5')
+        with h5py.File(path, 'w') as f:
+            f.create_dataset('data', data=wire)
+            f.attrs['meta'] = json.dumps(attrs)
+        out_paths.append(path)
+    logger.info(f'Wrote {len(out_paths)} shards under {out_dir}')
+    return out_paths
+
+
+def read_shard_meta(path: str) -> dict:
+    """The per-shard metadata written by :func:`export_shards` (native fqs,
+    wire dtype/scale); {} for shards without it (plain write_combined_hdf5)."""
+    import h5py
+    with h5py.File(path, 'r') as f:
+        raw = f.attrs.get('meta')
+        return json.loads(raw) if raw else {}
+
+
 def export_records_csv(dataset_keys: Sequence[str], data_root: str,
                        out_path: str) -> str:
     """The labels/record index (reference export_record_info,

@@ -27,10 +27,17 @@ import numpy as np
 
 
 def prefetch_to_device(iterator: Iterator, depth: int = 2, sharding=None) -> Iterator:
-    """Keep ``depth`` device-resident batches in flight ahead of the consumer."""
+    """Keep ``depth`` device-resident batches in flight ahead of the consumer.
+
+    Non-array leaves (e.g. the corpus index of a ``MixedRecordStream``
+    ``(idx, batch)`` item) pass through untouched -- they are host-side
+    routing metadata, and device_put-ing them would cost a per-step sync to
+    read back."""
     buf = []
 
     def put(x):
+        if not hasattr(x, 'shape'):
+            return x
         return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
 
     for item in iterator:
@@ -96,6 +103,48 @@ class ShardedRecordStream:
             t.join()
             if not self.loop:
                 return
+
+
+class MixedRecordStream:
+    """Weighted mixture over N corpora of shards (BASELINE config 5: e.g.
+    CinC21 + MIMIC-IV-ECG pretraining).
+
+    Each corpus is its own :class:`ShardedRecordStream` (looping); every draw
+    picks corpus ``i`` with probability ``weights[i]`` and yields
+    ``(i, batch)`` -- whole batches stay single-corpus because corpora may
+    differ in native rate, record length, and wire scale, so each needs its
+    own compiled train step (``MaeTrainer.train_stream`` maps the index to
+    the right per-corpus program).
+
+    Deterministic: the corpus choice sequence is a seeded stream independent
+    of the per-corpus shard/record shuffles, so a killed run resumed via
+    ``itertools.islice`` replays bit-identically (the exact-resume contract
+    of ``train_stream``).
+    """
+
+    def __init__(self, corpora: Sequence[Sequence[str]], batch_size: int,
+                 weights: Optional[Sequence[float]] = None, seed: int = 77,
+                 dataset: str = 'data', dtype=None):
+        """``corpora``: one shard-path list per corpus.  ``dtype=None`` keeps
+        each shard's stored dtype (int16 wire passes through raw)."""
+        assert corpora and all(len(c) for c in corpora)
+        w = np.asarray([1.0] * len(corpora) if weights is None else weights,
+                       np.float64)
+        assert w.shape == (len(corpora),) and (w > 0).all(), w
+        self.weights = w / w.sum()
+        # child seeds decorrelated from each other and from the mix choices
+        self.streams = [
+            ShardedRecordStream(paths, batch_size, seed=seed + 1000 * (i + 1),
+                                dataset=dataset, loop=True, dtype=dtype)
+            for i, paths in enumerate(corpora)]
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        its = [iter(s) for s in self.streams]
+        rng = np.random.default_rng(self.seed)
+        while True:
+            i = int(rng.choice(len(its), p=self.weights))
+            yield i, next(its[i])
 
 
 def device_batches(signals: np.ndarray, labels: Optional[np.ndarray],

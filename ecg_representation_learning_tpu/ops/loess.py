@@ -89,6 +89,10 @@ def _interior_smooth(y: jnp.ndarray, rw: jnp.ndarray, n: int,
     L = y.shape[-1]
     flat_rw = rw.reshape((-1, L))
     flat_ry = (rw * y).reshape((-1, L))
+    # two separate framed matmuls (S: 5 kernels on rw, T: 3 on rw*y); a
+    # batch-stacked single call was tried in round 5 and measured ~0.8 ms
+    # SLOWER over the whole chain (the 2B-row matmul pipelines worse with
+    # its neighbors and pays two dead output channels on the ry half)
     S = fir_correlate_matmul_multi(flat_rw, kerns)        # (B, n_out, 5)
     T = fir_correlate_matmul_multi(flat_ry, kerns[:3])    # (B, n_out, 3)
     s0, s1, s2, s3, s4 = [S[..., k] for k in range(5)]
@@ -148,27 +152,33 @@ def _smooth_once(y: jnp.ndarray, rw: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def median_last_axis(r: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
-    """Exact median over the last axis via bisection on counts.
+    """Exact median over the last axis via UNROLLED bisection on counts.
 
     ``jnp.median`` lowers to a full XLA sort -- measured ~1.5 ms per call on
-    (768, 2500) f32, and the robust-LOESS loop makes 2 calls x 5 iterations
-    (~18 of the chain's ~51 ms).  A sort is wasted work for one order
-    statistic: bisect the value range instead, counting ``r <= mid`` per row
-    (compare + row-sum, fully vectorized on the VPU).  ``hi`` converges onto
-    the k-th smallest *element value*: 40 halvings put it within a few ulps
-    of the data scale (usually exactly equal -- the f32 midpoint rounds onto
-    the element); even lengths average the two middle elements.
+    (768, 2500) f32, and the robust-LOESS loop makes 2 calls x 5 iterations.
+    A sort is wasted work for one order statistic: bisect the value range
+    instead, counting ``r <= mid`` per row (compare + row-sum, fully
+    vectorized on the VPU).  ``hi`` converges onto the k-th smallest
+    *element value*: 40 halvings put it within a few ulps of the data scale
+    (usually exactly equal -- the f32 midpoint rounds onto the element);
+    even lengths average the two middle elements.
+
+    The 40 halvings are a PYTHON loop (straight-line dataflow), not
+    ``lax.fori_loop``: on this platform each while-loop iteration pays
+    launch overhead that dominates the ~10 us of actual work per step --
+    the round-4 fori version measured 1.21 ms for the dependent med->MAD
+    pair vs **0.28 ms unrolled** (bit-identical mid sequence; round-5
+    variant shootout, which also rejected a fan-out multi-threshold design
+    at 1.57 ms and ``jnp.median``'s sort at 2.10 ms).
     """
     length = r.shape[-1]
 
     def kth(k):  # smallest t with count(r <= t) >= k, k is 1-based
-        def body(_, carry):
-            lo, hi = carry
+        lo, hi = jnp.min(r, axis=-1), jnp.max(r, axis=-1)
+        for _ in range(iters):
             mid = 0.5 * (lo + hi)
             ge = jnp.sum(r <= mid[..., None], axis=-1) >= k
-            return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
-        lo, hi = jax.lax.fori_loop(
-            0, iters, body, (jnp.min(r, axis=-1), jnp.max(r, axis=-1)))
+            lo, hi = jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
         return hi
 
     if length % 2:

@@ -47,19 +47,33 @@ def est_noise_std(x: jnp.ndarray) -> jnp.ndarray:
     """
     s6 = np.sqrt(6.0)
     n = x.shape[-1]
+    a_coef = -1.0 / s6
     # B[i] for interior i in [1, n-2]: (2 x[i] - x[i+1]) / sqrt(6); A = -1/sqrt(6)
     b = (2.0 * x[..., 1:-1] - x[..., 2:]) / s6
-    a = jnp.full_like(b, -1.0 / s6)
-    # seed the recurrence with r[0] = x[0] as the first element (A=0 there)
-    a0 = jnp.zeros_like(x[..., :1])
-    aa = jnp.concatenate([a0, a], axis=-1)
-    bb = jnp.concatenate([x[..., :1], b], axis=-1)
-
-    def compose(lhs, rhs):
-        (a1, b1), (a2, b2) = lhs, rhs
-        return a2 * a1, a2 * b1 + b2
-
-    _, r = jax.lax.associative_scan(compose, (aa, bb), axis=-1)
+    # drive sequence with the seed folded in: Bfull[0] = x[0], so
+    # r[j] = sum_m A^m Bfull[j-m] reproduces r[0] = x[0] and the recurrence
+    bfull = jnp.concatenate([x[..., :1], b], axis=-1)          # length n-1
+    K = 32  # |A|^32 ~ 3.6e-13: truncation far below the rtol=1e-4 contract
+    if n - 1 <= K + 2:
+        # tiny signals: the log-depth associative scan (exact, cheap here)
+        def compose(lhs, rhs):
+            (a1, b1), (a2, b2) = lhs, rhs
+            return a2 * a1, a2 * b1 + b2
+        aa = jnp.concatenate([jnp.zeros_like(x[..., :1]),
+                              jnp.full_like(b, a_coef)], axis=-1)
+        _, r = jax.lax.associative_scan(compose, (aa, bfull), axis=-1)
+    else:
+        # The constant-coefficient recurrence r[j] = A r[j-1] + B[j] is a
+        # causal filter with geometric kernel A^m -- a K-tap FIR on the MXU
+        # (fir_correlate_matmul's framed-Toeplitz matmul) instead of
+        # lax.associative_scan, whose log-depth strided lane slices cost
+        # ~2.8 ms in the composed denoise chain (round-5 seam probe) vs
+        # <0.3 ms here.  Exact to f32 by the decay argument above.
+        from .filter import fir_correlate_matmul
+        taps = (a_coef ** np.arange(K - 1, -1, -1)).astype(np.float64)
+        lead = bfull.shape[:-1]
+        xp = jnp.pad(bfull.reshape((-1, n - 1)), ((0, 0), (K - 1, 0)))
+        r = fir_correlate_matmul(xp, taps).reshape(lead + (n - 1,))
     res = jnp.concatenate([r, x[..., -1:]], axis=-1)
     assert res.shape[-1] == n
     # bisection-on-counts median (loess.median_last_axis) instead of

@@ -296,14 +296,22 @@ class MaeTrainer:
             return jax.jit(stream_step, donate_argnums=(0,),
                            in_shardings=(None, bsharding))
 
-    def train_stream(self, batches, total_steps: int, raw_fqs: Optional[int] = None,
+    def train_stream(self, batches, total_steps: int, raw_fqs=None,
                      log_every: int = 50,
-                     wire_scale: Optional[float] = None,
+                     wire_scale=None,
                      ckpt_every: int = 0,
                      resume: bool = False) -> Dict[str, Any]:
         """Streaming pretrain over an iterator of raw (B, C, L) host batches
         (e.g. :class:`data.pipeline.ShardedRecordStream` over CinC21 +
         MIMIC-IV-ECG shards -- BASELINE.json config 5).
+
+        Multi-corpus mixing: when the iterator yields ``(corpus_idx, batch)``
+        pairs (:class:`data.pipeline.MixedRecordStream`), ``raw_fqs`` and
+        ``wire_scale`` may be per-corpus sequences -- each corpus gets its own
+        jitted step with ITS native rate fed to the fused on-device preprocess
+        (steps are cached per distinct (fqs, scale) spec, so two corpora at
+        the same rate share one compiled program).  The result carries
+        ``mix_counts``, the realized per-corpus step counts.
 
         ``raw_fqs``: when given, batches are raw recordings at that rate and
         the fused resample+lowpass+normalize pipeline runs on device inside
@@ -330,7 +338,9 @@ class MaeTrainer:
         cfg = self.cfg
         start_step = 0
         if resume:
-            path = self.latest_checkpoint()
+            # True -> newest committed checkpoint under output_dir;
+            # a string -> that specific checkpoint (mirrors train())
+            path = resume if isinstance(resume, str) else self.latest_checkpoint()
             if path:
                 self.load_checkpoint(path)
                 start_step = int(self.state.step)
@@ -341,17 +351,32 @@ class MaeTrainer:
         if ckpt_every:
             os.makedirs(self.output_dir, exist_ok=True)
         from .checkpoint import prune_checkpoints
-        step_fn = self.build_stream_step(raw_fqs=raw_fqs, wire_scale=wire_scale)
+
+        def _per_corpus(v, ci):
+            return v[ci] if isinstance(v, (list, tuple)) else v
+
+        step_fns: Dict[Any, Any] = {}
+
+        def step_for(ci: int):
+            key = (_per_corpus(raw_fqs, ci), _per_corpus(wire_scale, ci))
+            if key not in step_fns:
+                step_fns[key] = self.build_stream_step(raw_fqs=key[0],
+                                                       wire_scale=key[1])
+            return step_fns[key]
+
         timer = StepTimer()
         last_loss = float('nan')
         host_step = start_step
         saved_at = -1
-        for batch in itertools.islice(batches, start_step, total_steps):
+        mix_counts: Dict[int, int] = {}
+        for item in itertools.islice(batches, start_step, total_steps):
+            ci, batch = item if isinstance(item, tuple) else (0, item)
             sig = jnp.asarray(batch)
             timer.input_done()
             with self.mesh:
-                self.state, loss = step_fn(self.state, sig)
+                self.state, loss = step_for(ci)(self.state, sig)
             timer.step_done()
+            mix_counts[ci] = mix_counts.get(ci, 0) + 1
             host_step += 1
             if host_step % log_every == 0 or host_step == total_steps:
                 last_loss = float(loss)
@@ -373,6 +398,7 @@ class MaeTrainer:
             from .checkpoint import wait_for_checkpoints
             wait_for_checkpoints()
         return {'loss': last_loss, 'steps': host_step,
+                'mix_counts': {int(k): v for k, v in sorted(mix_counts.items())},
                 'timer': timer.summary()}
 
     def train(self, resume: bool = False) -> Dict[str, Any]:
