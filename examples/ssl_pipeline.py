@@ -29,8 +29,12 @@ Expected output (CPU, defaults; numbers vary a little with the seed):
    closes the gap)
 
 The probe beating chance (0.5) with a FROZEN trunk is the proof that MAE
-pretraining learned signal structure; fine-tune then recovers (at least)
-the supervised ceiling.  With real data, replace step 1 with
+pretraining learned signal structure.  For the pretext that WINS the
+label-scarce transfer comparison, use ``--objective contrastive``: on the
+hard reference-scale corpus the frozen contrastive trunk's probe (0.82)
+beats even full from-scratch training (0.73) at 2% labels — the measured
+study is PERF.md "SSL transfer", and the driver verifies it every round
+(bench.py ssl_transfer_auroc_delta).  With real data, replace step 1 with
 ``cli export`` over a PhysioNet tree and pass the exported HDF5.
 """
 import argparse
