@@ -159,11 +159,50 @@ def run_production_anchor():
     return s['median']
 
 
+def make_fwdbwd_norm():
+    """fwd+bwd ONLY, with global_norm forcing EVERY grad leaf live (no
+    optimizer).  The round-3 'fwd+bwd 11.97 ms' probe returned a single grad
+    leaf -- if XLA dead-coded part of the backward there, this leg exposes
+    it: the true full-backward cost is what composition actually pays."""
+    def step(params, sig, lab, do_rng):
+        def loss_fn(p):
+            out = model.apply(p, sig, labels=lab, deterministic=False,
+                              rngs={'dropout': do_rng})
+            return out.loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        import optax
+        return loss, optax.global_norm(grads)
+    return jax.jit(step)
+
+
+def time_fwdbwd_norm():
+    st = tr.init_state()
+    pre = []
+    for i in range(2):
+        sig = jnp.take(sigs, idxs[i], axis=0).astype(jnp.float32)
+        lab = jnp.take(labs, idxs[i], axis=0)
+        sig = _prep_batch(sig, mean, std, patch, train=False)
+        pre.append((jax.block_until_ready(sig), lab))
+    fn = make_fwdbwd_norm()
+
+    def run(x):
+        with tr.mesh:
+            loss, gn = fn(st.params, x[0], x[1], FIXED[1])
+        return gn
+    s = _per_iter_stats(run, pre)
+    print(f'{"fwdbwd_norm":12s} {s["median"]*1e3:7.2f} ms   '
+          f'[{s["min"]*1e3:.2f}, {s["max"]*1e3:.2f}] k={s["k"]}', flush=True)
+    return s['median']
+
+
 full = run_production_anchor()
 no_metrics = time_leg('no_metrics', make_step(True, True, False), False)
 no_rng = time_leg('no_rng', make_step(True, False, True), False)
 no_prep = time_leg('no_prep', make_step(False, True, True), True)
 bare = time_leg('bare', make_step(False, False, False), True)
+fwdbwd = time_fwdbwd_norm()
+print(f'  fwd+bwd with ALL grads live (no optimizer): {fwdbwd*1e3:.2f} ms '
+      f'(round-3 single-leaf probe said 11.97)')
 
 print(f'\nattribution (marginal cost inside the fused program):')
 print(f'  metrics (binary_stats+sigmoid+probs): {(full-no_metrics)*1e3:+.2f} ms')
@@ -179,6 +218,7 @@ import dataclasses  # noqa: E402
 
 tr.cfg = dataclasses.replace(cfg, num_train_epoch=1, log_per_epoch=True,
                              log_to_console=False, save_final=False)
+tr.init_state()  # the timing legs donated the previous state's buffers
 tr.train()  # warm: compile multi_step + first-touch logging
 t0 = time.time()
 tr.train()
