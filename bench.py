@@ -461,6 +461,133 @@ def bench_quality_dress():
     _emit('dress_seconds_per_epoch', epoch_s, 's/epoch', 7.7 / epoch_s)
 
 
+def bench_ssl_transfer():
+    """The repo's NAMESAKE claim, driver-verified (VERDICT r4 missing #1):
+    self-supervised pretraining must demonstrably improve downstream
+    classification in the label-scarce regime (the SSL paper's contract per
+    the reference's stated goal, preprocess/dataset.py:2-5; metric definition
+    util/train.py:34-40).
+
+    Recipe selection was a measured study (PERF.md "SSL transfer"; rigs in
+    tools/ssl_*.py).  MAE trunks probe above chance (0.63-0.70) but BELOW
+    what scratch learns from <100 labels on this corpus, so MAE deltas are
+    ~0 or negative at every label fraction -- the corpus' masked-predictable
+    fraction saturates at MAE loss ~0.916 (1.0 = predict-the-mean).  The
+    CONTRASTIVE pretext (NT-Xent over morphology-safe views -- the pretext of
+    the very paper the reference's headline metric comes from) extracts the
+    class structure instead: its frozen-trunk probe (0.82) beats full
+    scratch training (0.73) outright.  Graduated protocol:
+      corpus    hard synth PTB-XL-scale (21,837 x 12 x 2500, 16 classes)
+      pretrain  contrastive (SimCLR/NT-Xent, ContrastiveConfig defaults),
+                bs 128 (two views; 256 OOMs with the corpus resident),
+                lr 1e-3 cosine, 40 epochs, FULL unlabeled train split
+      transfer  trunk -> supervised ViT (transfer_contrastive_encoder),
+                head fresh
+      fine-tune 2% of train labeled (348 records), 16 epochs, bs 64, lr 3e-4
+                -- IDENTICAL budget for the from-scratch control
+      probe     same subset, trunk FROZEN (linear_probe), lr 1e-2 (head-only
+                training needs the higher lr; 3e-4 leaves the head at chance)
+
+    Emits auroc_ssl - auroc_scratch as the value; vs_baseline is the ratio
+    auroc_ssl / auroc_scratch (>1 = pretraining wins).  The probe AUROC
+    rides in the payload -- on this corpus the frozen trunk is the strongest
+    transfer (fine-tuning from it at 3e-4 gives back a little of the win).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from ecg_representation_learning_tpu.configs import (ContrastiveConfig,
+                                                         TrainConfig,
+                                                         VitConfig)
+    from ecg_representation_learning_tpu.data import (get_ptbxl_splits,
+                                                      synth_ptbxl_device)
+    from ecg_representation_learning_tpu.train import Trainer
+    from ecg_representation_learning_tpu.train.contrastive import (
+        ContrastiveTrainer, transfer_contrastive_encoder)
+    from ecg_representation_learning_tpu.train.metrics import roc_auc
+    from ecg_representation_learning_tpu.train.trainer import SplitData
+
+    k = 16
+    signals, labels, folds = synth_ptbxl_device(n=21837, length=2500,
+                                                n_marker_classes=k)
+    splits = get_ptbxl_splits(signals, labels, folds)
+    del signals
+    n_tr = len(splits.train)
+    n_lab = max(64, int(round(0.02 * n_tr)))
+    lab_idx = np.sort(np.random.default_rng(7).permutation(n_tr)[:n_lab])
+    # subset ON DEVICE: the synth signals live in HBM and pulling the full
+    # 2 GB split through the tunnel just to slice 2% of it would dwarf the leg
+    small = SplitData(
+        signals=jnp.take(splits.train.signals, jnp.asarray(lab_idx), axis=0),
+        labels=splits.train.labels[lab_idx])
+
+    model_cfg = VitConfig.from_defined('base', dtype='bfloat16')
+
+    def macro(tr):
+        ev = tr.evaluate(splits.test, return_predictions=True)
+        probs, labs = ev['predictions']['probs'], ev['predictions']['labels']
+        aucs = [roc_auc(probs[:, j], labs[:, j]) for j in range(k)]
+        return float(np.mean([a for a in aucs if not np.isnan(a)]))
+
+    ft_cfg = TrainConfig(num_train_epoch=16, train_batch_size=64,
+                         eval_batch_size=128, do_eval=False, save_final=False,
+                         log_per_epoch=True, log_to_console=False,
+                         steps_per_dispatch=4, resident_dtype='float16')
+
+    def finetune(name, init_params=None, probe=False):
+        cfg = ft_cfg if not probe else dataclasses.replace(
+            ft_cfg, linear_probe=True, learning_rate=1e-2)
+        tr = Trainer(model_cfg, cfg, train_data=small,
+                     output_dir=f'/tmp/bench-ssl-{name}')
+        if init_params is not None:
+            tr.init_state()
+            tr.set_params(transfer_contrastive_encoder(init_params,
+                                                       tr.state.params))
+        tr.train()
+        return macro(tr)
+
+    mt = ContrastiveTrainer(
+        model_cfg, ContrastiveConfig(),
+        TrainConfig(num_train_epoch=40, train_batch_size=128,
+                    learning_rate=1e-3, do_eval=False, save_final=False,
+                    log_per_epoch=True, log_to_console=False,
+                    resident_dtype='float16'),
+        train_data=splits.train, output_dir='/tmp/bench-ssl-pretrain')
+    pre = mt.train()
+    # host snapshot: the fine-tune steps donate their state buffers, so the
+    # live device tree cannot be handed to two Trainers
+    enc = jax.tree.map(lambda a: np.asarray(a), mt.state.params)
+    del mt
+
+    auroc_scratch = finetune('scratch')
+    auroc_ssl = finetune('ssl-ft', init_params=enc)
+    probe_auroc = finetune('ssl-probe', init_params=enc, probe=True)
+    _emit('ssl_transfer_auroc_delta', auroc_ssl - auroc_scratch, 'auroc_delta',
+          auroc_ssl / auroc_scratch,
+          extra={'auroc_ssl': round(auroc_ssl, 4),
+                 'auroc_scratch': round(auroc_scratch, 4),
+                 'probe_auroc': round(probe_auroc, 4),
+                 'pretrain_loss': round(float(pre['loss']), 4),
+                 'labeled_frac': 0.02, 'n_labeled': int(n_lab),
+                 'pretrain_epochs': 40, 'objective': 'contrastive'})
+
+
+def _composite():
+    # The driver records the LAST emitted line as the round's headline
+    # (VERDICT r3 weak #8): emit a FIXED, round-over-round-comparable metric
+    # last -- the supervised train throughput -- carrying every other metric
+    # in an `all` payload so nothing is lost to the parse rule.  Re-emitted
+    # after EVERY leg so a mid-run kill (driver timeout) still leaves a full
+    # composite as the final line.
+    head = _EMITTED.get('train_vitbase_samples_per_sec')
+    if head is None and _EMITTED:           # train leg failed: fall back
+        head = next(iter(_EMITTED.values()))
+    if head is not None:
+        print(json.dumps({**head, 'all': sorted(_EMITTED.values(),
+                                                key=lambda r: r['metric'])}))
+
+
 def main():
     import sys
     import traceback
@@ -477,6 +604,8 @@ def main():
             print(f'[bench] {fn.__name__} failed:\n{traceback.format_exc()}',
                   file=sys.stderr)
             return None
+        finally:
+            _composite()
 
     leg(bench_preprocess)
     dense_sps = leg(bench_train)
@@ -487,17 +616,7 @@ def main():
     leg(bench_infer)
     leg(bench_serving_concurrent)
     leg(bench_quality_dress)
-
-    # The driver records the LAST emitted line as the round's headline
-    # (VERDICT r3 weak #8): emit a FIXED, round-over-round-comparable metric
-    # last -- the supervised train throughput -- carrying every other metric
-    # in an `all` payload so nothing is lost to the parse rule.
-    head = _EMITTED.get('train_vitbase_samples_per_sec')
-    if head is None and _EMITTED:           # train leg failed: fall back
-        head = next(iter(_EMITTED.values()))
-    if head is not None:
-        print(json.dumps({**head, 'all': sorted(_EMITTED.values(),
-                                                key=lambda r: r['metric'])}))
+    leg(bench_ssl_transfer)
 
 
 if __name__ == '__main__':

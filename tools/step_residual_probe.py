@@ -220,6 +220,8 @@ tr.cfg = dataclasses.replace(cfg, num_train_epoch=1, log_per_epoch=True,
                              log_to_console=False, save_final=False)
 tr.init_state()  # the timing legs donated the previous state's buffers
 tr.train()  # warm: compile multi_step + first-touch logging
+tr.epoch = 0    # train() runs (num_train_epoch - epoch) epochs; rewind so
+tr.init_state()  # the timed call below actually trains
 t0 = time.time()
 tr.train()
 steps = tr.steps_per_epoch
